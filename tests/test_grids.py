@@ -1,0 +1,108 @@
+"""Grid encodings: packing, AABB extraction order/values, memory accounting."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from voxelray_tpu.io import meshes
+from voxelray_tpu.models.grids import (GridAabbStruct, GridBool, GridVec,
+                                       build_grid, pack_bits, unpack_bits)
+from voxelray_tpu.ops.aabbs import aabbs_from_linear
+from voxelray_tpu.oracle import oracle_voxelize
+
+VS = 0.12
+
+
+@pytest.fixture(scope="module")
+def sphere():
+    v, f = meshes.icosphere(2)
+    return v, f, oracle_voxelize(v, f, VS)
+
+
+def test_pack_roundtrip():
+    rng = np.random.default_rng(1)
+    flat = rng.integers(0, 2, size=1000).astype(np.uint8)
+    words = pack_bits(jnp.asarray(flat))
+    assert words.shape[0] == -(-1000 // 32)
+    back = np.asarray(unpack_bits(words, 1000))
+    assert np.array_equal(back, flat)
+
+
+def test_gridbool_bit_layout():
+    # bit idx%32 of word idx/32, exactly like voxelgridBool.cpp:60-67
+    flat = np.zeros(70, np.uint8)
+    flat[0] = flat[33] = flat[69] = 1
+    words = np.asarray(pack_bits(jnp.asarray(flat)))
+    assert words[0] == 1
+    assert words[1] == (1 << 1)
+    assert words[2] == (1 << 5)
+
+
+def test_gridbool(sphere):
+    v, f, ref = sphere
+    g = GridBool.from_mesh(v, f, VS)
+    assert np.array_equal(np.asarray(g.occupancy()).astype(bool),
+                          ref.occupancy)
+    assert g.set_calls == ref.set_calls
+    # memory: ceil(cells/32) * 4 bytes
+    nx, ny, nz = g.dims
+    assert g.memory_usage_bytes() == -(-(nx * ny * nz) // 32) * 4
+    # aabb order == ascending linear index, reference float math
+    lin = np.flatnonzero(ref.occupancy.reshape(-1)).astype(np.int32)
+    want = np.asarray(aabbs_from_linear(jnp.asarray(lin), ref.dims,
+                                        ref.origin, VS))
+    assert np.array_equal(np.asarray(g.get_aabbs()), want)
+    # fixed-capacity jit extraction agrees
+    ab, cnt = g.get_aabbs_fixed(1 << 14)
+    assert int(cnt) == len(lin)
+    assert np.array_equal(np.asarray(ab)[: len(lin)], want)
+
+
+def test_gridbool_get_voxel_and_bounds(sphere):
+    v, f, ref = sphere
+    g = GridBool.from_mesh(v, f, VS)
+    zyx = np.argwhere(ref.occupancy)[0]
+    assert g.get_voxel(int(zyx[2]), int(zyx[1]), int(zyx[0]))
+    with pytest.raises(IndexError):
+        g.get_voxel(*g.dims)
+    with pytest.raises(IndexError):
+        g.get_coords(g.dims[0], 0, 0)
+
+
+def test_gridaabbstruct(sphere):
+    v, f, ref = sphere
+    g = GridAabbStruct.from_mesh(v, f, VS)
+    assert np.array_equal(np.asarray(g.occupancy()).astype(bool),
+                          ref.occupancy)
+    nx, ny, nz = g.dims
+    assert g.memory_usage_bytes() == nx * ny * nz * 28
+    lin = np.flatnonzero(ref.occupancy.reshape(-1)).astype(np.int32)
+    want = np.asarray(aabbs_from_linear(jnp.asarray(lin), ref.dims,
+                                        ref.origin, VS))
+    assert np.array_equal(np.asarray(g.get_aabbs()), want)
+
+
+def test_gridvec_duplicates_and_order(sphere):
+    v, f, ref = sphere
+    g = GridVec.from_mesh(v, f, VS)
+    # one AABB per setVoxel call, duplicates preserved
+    assert g.aabbs.shape[0] == ref.set_calls == len(ref.hits)
+    assert g.memory_usage_bytes() == ref.set_calls * 24
+    # order == serial emission order (tri, then z, y, x)
+    nx, ny, nz = ref.dims
+    lin = (ref.hits[:, 1] + nx * (ref.hits[:, 2] + ny * ref.hits[:, 3])
+           ).astype(np.int32)
+    want = np.asarray(aabbs_from_linear(jnp.asarray(lin), ref.dims,
+                                        ref.origin, VS))
+    assert np.array_equal(np.asarray(g.get_aabbs()), want)
+    # occupancy derived from the vec equals the bitmask occupancy
+    assert np.array_equal(np.asarray(g.occupancy()).astype(bool),
+                          ref.occupancy)
+
+
+def test_build_grid_dispatch(sphere):
+    v, f, _ = sphere
+    for enc, cls in [("bool", GridBool), ("aabbstruct", GridAabbStruct),
+                     ("vec", GridVec)]:
+        assert isinstance(build_grid(enc, v, f, VS), cls)
+    with pytest.raises(ValueError):
+        build_grid("nope", v, f, VS)

@@ -1,0 +1,81 @@
+"""JAX voxelizer vs the NumPy oracle: bit-exact occupancy gating.
+
+This is the fidelity gate demanded by BASELINE.md: occupancy must be
+bit-exact against the reference CPU voxelization semantics for every
+encoding and both execution paths.
+"""
+import numpy as np
+import pytest
+
+from voxelray_tpu.io import meshes
+from voxelray_tpu.oracle import oracle_voxelize
+from voxelray_tpu.ops.voxelize import (plan_buckets, required_window_shape,
+                                       voxelize_dense, voxelize_mesh)
+
+CASES = [
+    ("cube16", lambda: meshes.cube(2.0), 2.0 / 16),
+    ("cube0.3", lambda: meshes.cube(2.0), 0.3),
+    ("sphere", lambda: meshes.icosphere(2), 0.12),
+    ("bunny", lambda: meshes.bunny_like(2), 0.11),
+]
+
+
+@pytest.mark.parametrize("name,mesh,vs", CASES, ids=[c[0] for c in CASES])
+def test_bit_exact_occupancy(name, mesh, vs):
+    v, f = mesh()
+    ref = oracle_voxelize(v, f, vs)
+    out = voxelize_mesh(v, f, vs)
+    occ = np.asarray(out["occ"]).astype(bool)
+    assert out["dims"] == ref.dims
+    assert np.array_equal(occ, ref.occupancy), (
+        f"{name}: {np.count_nonzero(occ ^ ref.occupancy)} mismatched cells"
+    )
+    assert out["set_calls"] == ref.set_calls
+
+
+def test_fixed_window_path_matches_bucketed():
+    # the single-window jit path (used for deforming meshes) == bucketed
+    v, f = meshes.icosphere(2)
+    vs = 0.12
+    a = voxelize_mesh(v, f, vs)
+    win = required_window_shape(v, f, a["origin"], vs, a["dims"])
+    b = voxelize_mesh(v, f, vs, window=win)
+    assert np.array_equal(np.asarray(a["occ"]), np.asarray(b["occ"]))
+    assert a["set_calls"] == b["set_calls"]
+
+
+def test_empty_mesh():
+    out = voxelize_mesh(np.zeros((0, 3)), np.zeros((0, 3), np.int32), 0.5)
+    assert out["set_calls"] == 0
+
+
+def test_degenerate_flat_mesh_empty_grid():
+    v, f = meshes.plane(4.0)
+    out = voxelize_mesh(v, f, 0.5)
+    assert out["dims"][1] == 0
+    assert np.asarray(out["occ"]).size == 0
+
+
+def test_bucket_plan_covers_all_triangles():
+    v, f = meshes.cube(2.0)
+    from voxelray_tpu.ops.geometry import grid_dims, mesh_bbox
+    bb_min, bb_max = mesh_bbox(v)
+    dims = grid_dims(bb_min, bb_max, 0.125)
+    buckets = plan_buckets(v, f, bb_min, 0.125, dims, max_buckets=3)
+    assert len(buckets) <= 3
+    covered = np.sort(np.concatenate([i for _, i in buckets]))
+    assert np.array_equal(covered, np.arange(len(f)))
+
+
+def test_window_shape_truncation_guard():
+    # a window smaller than required silently truncates — documented
+    # behavior; correctness requires required_window_shape
+    v, f = meshes.icosphere(1)
+    vs = 0.3
+    ref = oracle_voxelize(v, f, vs)
+    import jax.numpy as jnp
+    occ, _ = voxelize_dense(
+        jnp.asarray(v[f]), jnp.asarray(ref.origin),
+        dims=ref.dims, voxel_size_static=vs, window=(1, 1, 1), chunk=64,
+    )
+    assert np.asarray(occ).sum() <= ref.occupancy.sum()

@@ -1,0 +1,283 @@
+"""Morton-coded octree encoding.
+
+Reference: src/octTree.hpp — occupied voxels become 63-bit Morton codes
+(21 bits/axis), sorted, and a flat node array is built by splitting sorted
+ranges on the 3-bit octant digit per level.  Exact semantics preserved:
+
+  * bitsPerAxis = ceil(log2(maxDim)) in double math, > 21 raises
+    (octTree.hpp:578-585),
+  * maxDepth = bitsPerAxis; root bounds inflated to the power-of-two cube
+    bb.min + voxelSize * 2^bits (octTree.hpp:592-594),
+  * items are one Morton code per (triangle, cell) SAT hit — duplicates
+    are kept, sorted, and re-emitted by getAabbs (octTree.hpp:374-392),
+  * a node is a leaf when depth >= maxDepth or count <= maxItemsPerLeaf
+    (default 16, octTree.hpp:328-331, 489),
+  * nodes are numbered in pre-order with children visited 0..7
+    (buildNodeRecursive, octTree.hpp:319-358); INVALID child = 0xFFFFFFFF.
+
+TPU-first differences: Morton encoding is magic-bits on device (no byte
+LUT gathers), the sort is jax.lax.sort on (hi, lo) uint32 limb pairs, and
+node construction is a *level-order vectorized* sweep over the sorted code
+array (one searchsorted batch per level) instead of 512-MiB-stack
+recursion — then renumbered to the reference's pre-order for parity.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.morton import (morton_decode3_np, morton_encode3,
+                          morton_encode3_np)
+
+__all__ = ["Octree", "build_nodes", "INVALID_INDEX"]
+
+INVALID_INDEX = np.uint32(0xFFFFFFFF)
+
+
+def build_nodes(codes_sorted: np.ndarray, max_depth: int,
+                max_items: int) -> np.ndarray:
+    """Flat node array from sorted Morton codes (host, vectorized per level).
+
+    Returns int64 array (M, 10): columns 0..7 children (INVALID as
+    0xFFFFFFFF), 8 start, 9 count — pre-order numbered like the recursive
+    reference build.
+    """
+    n = len(codes_sorted)
+    if n == 0 and max_depth == 0:
+        return np.zeros((0, 10), np.int64)
+
+    # level-order construction -------------------------------------------
+    # each node: (begin, end, depth); splittable nodes expand per level
+    begins = [np.array([0], np.int64)]
+    ends = [np.array([n], np.int64)]
+    parents = [np.array([-1], np.int64)]   # parent row in previous level
+    octants = [np.array([0], np.int64)]    # which child slot of the parent
+
+    codes = codes_sorted.astype(np.uint64)
+    level_rows = []  # (begin, end, parent_global_idx, octant)
+
+    cur_b, cur_e = begins[0], ends[0]
+    cur_parent = parents[0]
+    cur_oct = octants[0]
+    all_b, all_e, all_parent, all_oct, all_depth = [], [], [], [], []
+    global_offset = 0
+
+    for depth in range(max_depth + 1):
+        k = len(cur_b)
+        if k == 0:
+            break
+        all_b.append(cur_b)
+        all_e.append(cur_e)
+        all_parent.append(cur_parent)
+        all_oct.append(cur_oct)
+        all_depth.append(np.full(k, depth, np.int64))
+
+        counts = cur_e - cur_b
+        split = (depth < max_depth) & (counts > max_items)
+        idx_split = np.flatnonzero(split)
+        if len(idx_split) == 0 or depth == max_depth:
+            cur_b = np.zeros(0, np.int64)
+            cur_e = np.zeros(0, np.int64)
+            cur_parent = np.zeros(0, np.int64)
+            cur_oct = np.zeros(0, np.int64)
+            global_offset += k
+            continue
+
+        shift = np.uint64(3 * (max_depth - 1 - depth))
+        keys = (codes >> shift)  # sorted; low 3 bits = octant at this level
+        # prefix of each splitting node (bits above this level)
+        pref = (codes[cur_b[idx_split]] >> (shift + np.uint64(3)))
+        # child boundaries: searchsorted for prefix*8 + c, c = 0..8
+        q = (pref[:, None].astype(np.uint64) << np.uint64(3)) \
+            + np.arange(9, dtype=np.uint64)[None, :]
+        bounds = np.searchsorted(keys, q)  # (S, 9)
+        bounds = np.clip(bounds, cur_b[idx_split][:, None],
+                         cur_e[idx_split][:, None])
+        cb = bounds[:, :8].reshape(-1)
+        ce = bounds[:, 1:].reshape(-1)
+        child_oct = np.tile(np.arange(8, dtype=np.int64), len(idx_split))
+        child_parent = np.repeat(global_offset + idx_split, 8)
+        keep = ce > cb  # only non-empty octants become nodes
+        cur_b, cur_e = cb[keep], ce[keep]
+        cur_parent, cur_oct = child_parent[keep], child_oct[keep]
+        global_offset += k
+
+    b = np.concatenate(all_b)
+    e = np.concatenate(all_e)
+    parent = np.concatenate(all_parent)
+    octant = np.concatenate(all_oct)
+    m = len(b)
+
+    # children table in level order
+    children = np.full((m, 8), np.int64(INVALID_INDEX))
+    child_rows = np.flatnonzero(parent >= 0)
+    children[parent[child_rows], octant[child_rows]] = child_rows
+
+    # pre-order renumbering (children visited 0..7), iterative stack ------
+    order = np.empty(m, np.int64)  # order[new] = old
+    rank = np.empty(m, np.int64)   # rank[old] = new
+    stack = [0]
+    nxt = 0
+    while stack:
+        node = stack.pop()
+        order[nxt] = node
+        rank[node] = nxt
+        nxt += 1
+        ch = children[node]
+        for c in range(7, -1, -1):
+            if ch[c] != np.int64(INVALID_INDEX):
+                stack.append(ch[c])
+    assert nxt == m
+
+    out = np.full((m, 10), np.int64(INVALID_INDEX))
+    old_children = children[order]
+    valid = old_children != np.int64(INVALID_INDEX)
+    out[:, :8] = np.where(valid, rank[np.clip(old_children, 0, m - 1)],
+                          np.int64(INVALID_INDEX))
+    out[:, 8] = b[order]
+    out[:, 9] = (e - b)[order]
+    return out
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class Octree:
+    """Flat Morton octree as device arrays."""
+
+    code_hi: Any                    # uint32[N] sorted code upper limbs
+    code_lo: Any                    # uint32[N] lower limbs
+    children: Any                   # int32[M, 8], -1 == INVALID
+    node_start: Any                 # int32[M]
+    node_count: Any                 # int32[M]
+    root_min: Any                   # float32[3] (== mesh bb.min)
+    dims: tuple = field(metadata=dict(static=True))
+    voxel_size: float = field(metadata=dict(static=True))
+    bits_per_axis: int = field(metadata=dict(static=True))
+    max_items: int = field(metadata=dict(static=True))
+    set_calls: int = 0
+
+    # -- construction ------------------------------------------------------
+    @classmethod
+    def from_mesh(cls, vertices, faces, voxel_size, max_items_per_leaf=16,
+                  bb_min=None, bb_max=None, chunk=2048):
+        from ..ops.geometry import grid_dims, mesh_bbox
+        from ..ops.voxelize import required_window_shape, voxelize_dense
+
+        v = np.asarray(vertices, dtype=np.float32).reshape(-1, 3)
+        f = np.asarray(faces).reshape(-1, 3)
+        if bb_min is None or bb_max is None:
+            bb_min, bb_max = mesh_bbox(v)
+        bb_min = np.asarray(bb_min, np.float32)
+        bb_max = np.asarray(bb_max, np.float32)
+        dims = grid_dims(bb_min, bb_max, voxel_size)
+        max_dim = max(dims)
+        if max_dim == 0 or len(f) == 0:
+            return cls(code_hi=jnp.zeros(0, jnp.uint32),
+                       code_lo=jnp.zeros(0, jnp.uint32),
+                       children=jnp.zeros((0, 8), jnp.int32),
+                       node_start=jnp.zeros(0, jnp.int32),
+                       node_count=jnp.zeros(0, jnp.int32),
+                       root_min=jnp.asarray(bb_min),
+                       dims=dims, voxel_size=float(voxel_size),
+                       bits_per_axis=0,
+                       max_items=int(max_items_per_leaf), set_calls=0)
+
+        # ceil(log2(maxDim)) in double precision (octTree.hpp:578-580)
+        bits = int(math.ceil(math.log2(float(max_dim))))
+        if bits > 21:
+            raise ValueError(
+                "We support up to 21 bits per axis "
+                "(max 2^21 voxels per dimension)!"
+            )
+        max_depth = bits
+
+        win = required_window_shape(v, f, bb_min, voxel_size, dims)
+        win = tuple(1 << max(0, int(np.ceil(np.log2(w)))) for w in win)
+        cap = win[0] * win[1] * win[2]
+        budget = (1 << 22) if jax.default_backend() != "cpu" else (1 << 14)
+        _occ, calls, hit, lin, _rank = voxelize_dense(
+            jnp.asarray(v[f]), jnp.asarray(bb_min), dims=dims,
+            voxel_size_static=float(voxel_size), window=win,
+            chunk=int(min(chunk, max(8, budget // cap))),
+            with_hit_mask=True,
+        )
+
+        # one item per SAT hit, duplicates preserved (octTree.hpp:769-771)
+        nx, ny, _nz = dims
+        hit_np = np.asarray(hit).reshape(-1)
+        lin_np = np.asarray(lin).reshape(-1)[hit_np].astype(np.int64)
+        x = (lin_np % nx).astype(np.uint64)
+        y = ((lin_np // nx) % ny).astype(np.uint64)
+        z = (lin_np // (nx * ny)).astype(np.uint64)
+        codes = np.sort(morton_encode3_np(x, y, z))
+
+        nodes = build_nodes(codes, max_depth, int(max_items_per_leaf))
+        return cls(
+            code_hi=jnp.asarray((codes >> np.uint64(32)).astype(np.uint32)),
+            code_lo=jnp.asarray((codes & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+            children=jnp.asarray(
+                np.where(nodes[:, :8] == np.int64(INVALID_INDEX), -1,
+                         nodes[:, :8]).astype(np.int32)),
+            node_start=jnp.asarray(nodes[:, 8].astype(np.int32)),
+            node_count=jnp.asarray(nodes[:, 9].astype(np.int32)),
+            root_min=jnp.asarray(bb_min),
+            dims=dims, voxel_size=float(voxel_size), bits_per_axis=bits,
+            max_items=int(max_items_per_leaf), set_calls=int(calls),
+        )
+
+    # -- queries -----------------------------------------------------------
+    @property
+    def n_items(self):
+        return int(self.code_hi.shape[0])
+
+    @property
+    def n_nodes(self):
+        return int(self.node_start.shape[0])
+
+    @property
+    def root_bounds(self):
+        """Power-of-two cube [min, min + vs*2^bits] (octTree.hpp:592-594)."""
+        mn = np.asarray(self.root_min, np.float32)
+        extent = np.float32(self.voxel_size) * np.float32(
+            np.uint32(1) << np.uint32(self.bits_per_axis))
+        return mn, mn + extent
+
+    def codes_u64(self) -> np.ndarray:
+        return (np.asarray(self.code_hi, np.uint64) << np.uint64(32)) \
+            | np.asarray(self.code_lo, np.uint64)
+
+    def get_aabbs(self):
+        """One AABB per item (duplicates included) in sorted-code order —
+        exactly the DFS leaf emission of octTree.hpp:374-392."""
+        if self.n_items == 0:
+            return jnp.zeros((0, 6), jnp.float32)
+        x, y, z = morton_decode3_np(self.codes_u64())
+        vs = np.float32(self.voxel_size)
+        half = vs * np.float32(0.5)
+        mn = np.asarray(self.root_min, np.float32)
+        cx = mn[0] + (x.astype(np.float32) + np.float32(0.5)) * vs
+        cy = mn[1] + (y.astype(np.float32) + np.float32(0.5)) * vs
+        cz = mn[2] + (z.astype(np.float32) + np.float32(0.5)) * vs
+        return jnp.asarray(np.stack(
+            [cx - half, cy - half, cz - half, cx + half, cy + half,
+             cz + half], axis=-1))
+
+    def occupancy(self):
+        """Dense (Z, Y, X) uint8 view (for cross-encoding equality tests)."""
+        nx, ny, nz = self.dims
+        occ = np.zeros((nz * ny * nx,), np.uint8)
+        if self.n_items:
+            x, y, z = morton_decode3_np(self.codes_u64())
+            lin = (x.astype(np.int64) + nx * (y.astype(np.int64)
+                                              + ny * z.astype(np.int64)))
+            occ[lin] = 1
+        return jnp.asarray(occ.reshape(nz, ny, nx))
+
+    def memory_usage_bytes(self):
+        # items * sizeof(Item{u64}) + nodes * sizeof(Node{8*u32+2*u32})
+        return self.n_items * 8 + self.n_nodes * 40

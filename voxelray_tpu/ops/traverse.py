@@ -1,0 +1,250 @@
+"""Ray traversal backends over voxel geometry.
+
+The reference delegates traversal to the Vulkan driver's TLAS/BLAS walk
+and runs the slab test per candidate AABB (raytrace.rint).  Hit semantics
+to reproduce (per VK_KHR_ray_tracing report/accept rules the shaders rely
+on): a voxel is hit at t0 from the slab test iff
+
+    t1 > max(t0, 0)   (the rint predicate)
+    t0 > 0            (the rint report guard)
+    t_min <= t0 <= t_max   (hardware ray-interval clamp)
+
+and the nearest accepted t0 wins.
+
+Backends:
+  trace_aabbs_brute — test every AABB (chunked scan).  This is the
+                      semantic reference: identical AABB values, identical
+                      float ops, works for any AABB soup (Vec encoding).
+  trace_grid_dda    — Amanatides-Woo 3-D DDA over the dense bitmask grid.
+                      Returns identical hits for grids whose AABBs are the
+                      cell boxes (Bool/AabbStruct encodings): the first
+                      occupied cell along the ray whose slab t0 passes the
+                      rules above IS the argmin.
+  Hierarchical two-level DDA and the octree walk live in
+  traverse_fast.py / octree traversal (used by the Pallas render path).
+
+All functions are vectorized over an arbitrary ray batch shape (...,).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .intersect import TMAX, TMIN, hit_aabb
+
+__all__ = ["trace_aabbs_brute", "any_hit_aabbs_brute", "trace_grid_dda",
+           "any_hit_grid_dda", "trace_triangles_brute",
+           "any_hit_triangles_brute"]
+
+
+def _accept(t0, t_min, t_max):
+    return (t0 > 0.0) & (t0 >= t_min) & (t0 <= t_max)
+
+
+def trace_aabbs_brute(origins, dirs, aabbs, t_min=TMIN, t_max=TMAX,
+                      chunk=512):
+    """Nearest voxel hit by exhaustive slab tests.
+
+    origins/dirs: (..., 3); aabbs: (N, 6).  Returns (t, prim_id) with
+    t = +inf, prim_id = -1 on miss.  Ties resolve to the lowest primitive
+    index (deterministic, unlike the driver's undefined order).
+    """
+    batch_shape = origins.shape[:-1]
+    n = aabbs.shape[0]
+    if n == 0:
+        return (jnp.full(batch_shape, jnp.inf, jnp.float32),
+                jnp.full(batch_shape, -1, jnp.int32))
+    n_chunks = -(-n // chunk)
+    padded = jnp.pad(aabbs, ((0, n_chunks * chunk - n), (0, 0)),
+                     constant_values=np.inf)
+    chunks = padded.reshape(n_chunks, chunk, 6)
+
+    # t_max may be per-ray (shadow light distance): align with chunk axis
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                             batch_shape)[..., None]
+    o = origins[..., None, :]
+    d = dirs[..., None, :]
+
+    def body(carry, box):
+        best_t, best_id, base = carry
+        t0 = hit_aabb(box[:, 0:3], box[:, 3:6], o, d)  # (..., chunk)
+        ok = _accept(t0, t_min, t_max)
+        t0 = jnp.where(ok, t0, jnp.inf)
+        arg = jnp.argmin(t0, axis=-1)
+        tbest = jnp.take_along_axis(t0, arg[..., None], axis=-1)[..., 0]
+        better = tbest < best_t
+        best_id = jnp.where(better, base + arg.astype(jnp.int32), best_id)
+        best_t = jnp.where(better, tbest, best_t)
+        return (best_t, best_id, base + chunk), None
+
+    init = (jnp.full(batch_shape, jnp.inf, jnp.float32),
+            jnp.full(batch_shape, -1, jnp.int32), jnp.int32(0))
+    (t, pid, _), _ = jax.lax.scan(body, init, chunks)
+    return t, pid
+
+
+def any_hit_aabbs_brute(origins, dirs, aabbs, t_min=TMIN, t_max=TMAX,
+                        chunk=512):
+    """Shadow-ray predicate: does any AABB hit fall inside (t_min, t_max)?
+
+    t_max may be an array (per-ray light distance).
+    """
+    t, _ = trace_aabbs_brute(origins, dirs, aabbs, t_min=t_min,
+                             t_max=jnp.asarray(t_max), chunk=chunk)
+    return jnp.isfinite(t)
+
+
+def trace_triangles_brute(origins, dirs, v0, v1, v2, t_min=TMIN, t_max=TMAX,
+                          chunk=256):
+    """Nearest triangle hit (the driver's triangle BLAS, in software).
+
+    Returns (t, prim_id, u, v) with t = +inf / prim_id = -1 on miss.
+    """
+    from .intersect import hit_triangles
+
+    batch_shape = origins.shape[:-1]
+    n = v0.shape[0]
+    if n == 0:
+        z = jnp.zeros(batch_shape, jnp.float32)
+        return (jnp.full(batch_shape, jnp.inf, jnp.float32),
+                jnp.full(batch_shape, -1, jnp.int32), z, z)
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+
+    def pad_r(x):
+        return jnp.pad(x, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
+
+    tris = (pad_r(v0), pad_r(v1), pad_r(v2))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                             batch_shape)[..., None]
+    o = origins[..., None, :]
+    d = dirs[..., None, :]
+
+    def body(carry, tri):
+        best_t, best_id, best_u, best_v, base = carry
+        a, b, c = tri
+        t, u, v = hit_triangles(o, d, a, b, c, t_min=t_min, t_max=t_max)
+        arg = jnp.argmin(t, axis=-1)
+        take = lambda x: jnp.take_along_axis(x, arg[..., None],
+                                             axis=-1)[..., 0]
+        tb, ub, vb = take(t), take(u), take(v)
+        better = tb < best_t
+        best_id = jnp.where(better, base + arg.astype(jnp.int32), best_id)
+        best_t = jnp.where(better, tb, best_t)
+        best_u = jnp.where(better, ub, best_u)
+        best_v = jnp.where(better, vb, best_v)
+        return (best_t, best_id, best_u, best_v, base + chunk), None
+
+    z = jnp.zeros(batch_shape, jnp.float32)
+    init = (jnp.full(batch_shape, jnp.inf, jnp.float32),
+            jnp.full(batch_shape, -1, jnp.int32), z, z, jnp.int32(0))
+    (t, pid, u, v, _), _ = jax.lax.scan(body, init, tris)
+    return t, pid, u, v
+
+
+def any_hit_triangles_brute(origins, dirs, v0, v1, v2, t_min=TMIN,
+                            t_max=TMAX, chunk=256):
+    t, _, _, _ = trace_triangles_brute(origins, dirs, v0, v1, v2,
+                                       t_min=t_min, t_max=t_max, chunk=chunk)
+    return jnp.isfinite(t)
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "voxel_size_static"))
+def trace_grid_dda(origins, dirs, occ_flat, grid_origin, *, dims,
+                   voxel_size_static, t_min=TMIN, t_max=TMAX):
+    """Amanatides-Woo DDA over a dense occupancy grid.
+
+    occ_flat: (X*Y*Z,) uint8; grid_origin: (3,).  Returns (t, lin) with
+    t = +inf / lin = -1 on miss.  t is the slab-test t0 of the hit cell's
+    AABB evaluated with the reference float math, so distances match the
+    brute backend bit-for-bit.
+    """
+    nx, ny, nz = dims
+    vs = jnp.float32(voxel_size_static)
+    origin = jnp.asarray(grid_origin, jnp.float32)
+    batch_shape = origins.shape[:-1]
+    o = origins.reshape(-1, 3)
+    d = dirs.reshape(-1, 3)
+    n_rays = o.shape[0]
+    # t_max may be per-ray (shadow light distance)
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                             batch_shape).reshape(-1)
+    dims_f = jnp.asarray([nx, ny, nz], jnp.float32)
+    grid_max = origin + dims_f * vs
+
+    inv_d = 1.0 / d
+    # entry into the grid bounds
+    tbot = inv_d * (origin - o)
+    ttop = inv_d * (grid_max - o)
+    tn = jnp.minimum(tbot, ttop)
+    tf = jnp.maximum(tbot, ttop)
+    t_enter = jnp.maximum(jnp.maximum(tn[:, 0], tn[:, 1]), tn[:, 2])
+    t_exit = jnp.minimum(jnp.minimum(tf[:, 0], tf[:, 1]), tf[:, 2])
+    # start marginally inside the first cell
+    t_start = jnp.maximum(t_enter, 0.0) + 1e-7
+    inside = t_exit > jnp.maximum(t_enter, 0.0)
+
+    p = o + d * t_start[:, None]
+    cell = jnp.clip(
+        jnp.floor((p - origin) / vs).astype(jnp.int32), 0,
+        jnp.asarray([nx - 1, ny - 1, nz - 1], jnp.int32),
+    )
+    step = jnp.where(d >= 0, 1, -1).astype(jnp.int32)
+    # t at the next boundary crossing per axis
+    next_bound = origin + (cell + (step > 0)).astype(jnp.float32) * vs
+    t_next = jnp.where(d != 0.0, (next_bound - o) * inv_d, jnp.inf)
+    t_delta = jnp.where(d != 0.0, vs * jnp.abs(inv_d), jnp.inf)
+
+    half = jnp.float32(0.5) * vs
+    max_steps = nx + ny + nz + 3
+
+    def cell_hit_t(cell):
+        """Slab t0 of the cell AABB built with the reference's float expr."""
+        c = origin + (cell.astype(jnp.float32) + 0.5) * vs
+        t0 = hit_aabb(c - half, c + half, o, d)
+        return t0
+
+    def cond(state):
+        _, _, _, active, steps = state
+        return (steps < max_steps) & jnp.any(active)
+
+    def body(state):
+        cell, t_next, best, active, steps = state
+        lin = cell[:, 0] + nx * (cell[:, 1] + ny * cell[:, 2])
+        occ_here = occ_flat[jnp.clip(lin, 0, nx * ny * nz - 1)] > 0
+        t0 = cell_hit_t(cell)
+        ok = active & occ_here & _accept(t0, t_min, t_max)
+        best_t, best_lin = best
+        best_t = jnp.where(ok, t0, best_t)
+        best_lin = jnp.where(ok, lin, best_lin)
+        active = active & ~ok
+        # also deactivate rays whose next t exceeds t_max
+        axis = jnp.argmin(t_next, axis=-1)
+        t_cross = jnp.take_along_axis(t_next, axis[:, None], axis=-1)[:, 0]
+        active = active & (t_cross <= jnp.broadcast_to(t_max, t_cross.shape))
+        onehot = jax.nn.one_hot(axis, 3, dtype=jnp.int32)
+        cell = cell + onehot * step
+        t_next = t_next + onehot.astype(jnp.float32) * t_delta
+        oob = (cell < 0) | (cell >= jnp.asarray([nx, ny, nz], jnp.int32))
+        active = active & ~oob.any(axis=-1)
+        return cell, t_next, (best_t, best_lin), active, steps + 1
+
+    init = (cell, t_next,
+            (jnp.full((n_rays,), jnp.inf, jnp.float32),
+             jnp.full((n_rays,), -1, jnp.int32)),
+            inside, jnp.int32(0))
+    _, _, (t, lin), _, _ = jax.lax.while_loop(cond, body, init)
+    return t.reshape(batch_shape), lin.reshape(batch_shape)
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "voxel_size_static"))
+def any_hit_grid_dda(origins, dirs, occ_flat, grid_origin, *, dims,
+                     voxel_size_static, t_min=TMIN, t_max=TMAX):
+    """Shadow predicate via DDA; t_max may be per-ray."""
+    t, _ = trace_grid_dda(origins, dirs, occ_flat, grid_origin, dims=dims,
+                          voxel_size_static=voxel_size_static,
+                          t_min=t_min, t_max=t_max)
+    return jnp.isfinite(t)

@@ -1,0 +1,130 @@
+"""Device mesh, shardings, and collectives — the distributed layer.
+
+The reference is strictly single-GPU (SURVEY.md section 2.4); its only
+parallelism is a std::thread fan-out over triangles with a serial merge
+(VoxelBuilder.hpp:462-537).  The TPU-native equivalents:
+
+  voxelize: shard triangles across devices ("data" axis); each device
+            scatters into its own occupancy copy; merge with a bitwise-OR
+            all-reduce (jnp.max psum-style over uint8) riding ICI —
+            the deterministic analog of the thread-bucket merge.
+  render:   shard the pixel rows ("rays" axis) — each device traces its
+            rows against the replicated scene; the framebuffer is formed
+            by construction (no gather needed under jit output sharding).
+  frames:   batch-of-frames data parallelism for animation / deforming
+            meshes (BASELINE config 5).
+
+Everything uses jax.sharding.Mesh + shard_map with explicit collectives;
+no NCCL/MPI analog exists or is needed.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "shard_triangles", "voxelize_sharded",
+           "render_sharded", "or_reduce_occupancy"]
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "rays") -> Mesh:
+    """1-D device mesh over all (or the first n) local devices."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def shard_triangles(tri_verts: np.ndarray, n_shards: int) -> np.ndarray:
+    """Pad triangle array to a multiple of n_shards with +inf sentinels
+    (empty windows) so every shard gets equal static shape."""
+    f = tri_verts.shape[0]
+    per = -(-f // n_shards)
+    pad = per * n_shards - f
+    return np.pad(tri_verts, ((0, pad), (0, 0), (0, 0)),
+                  constant_values=np.inf)
+
+
+def or_reduce_occupancy(occ, axis_name: str):
+    """Bitwise-OR all-reduce of {0,1} uint8 occupancy over the mesh axis.
+
+    OR == max == (psum > 0); psum maps onto the ICI all-reduce fast path.
+    """
+    return (jax.lax.psum(occ.astype(jnp.int32), axis_name) > 0) \
+        .astype(jnp.uint8)
+
+
+def voxelize_sharded(tri_verts, origin, mesh: Mesh, *, dims,
+                     voxel_size, window, chunk=4096):
+    """Triangle-sharded voxelization with an OR all-reduce merge.
+
+    tri_verts: (F, 3, 3) float32 (host or device).  Returns occ (Z, Y, X)
+    uint8 replicated, set_calls int32 (total across shards).
+    """
+    from ..ops.voxelize import voxelize_dense
+
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    tri = shard_triangles(np.asarray(tri_verts, np.float32), n)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis), P()), out_specs=(P(), P()),
+    )
+    def _vox(tri_shard, org):
+        occ, calls = voxelize_dense(
+            tri_shard, org, dims=dims,
+            voxel_size_static=float(voxel_size), window=window,
+            chunk=chunk)
+        occ = or_reduce_occupancy(occ, axis)
+        calls = jax.lax.psum(calls, axis)
+        return occ, calls
+
+    return _vox(jnp.asarray(tri), jnp.asarray(origin, jnp.float32))
+
+
+def render_sharded(scene, view_inv, proj_inv, mesh: Mesh, *, width, height,
+                   light=None, clear_color=(1.0, 1.0, 1.0, 1.0),
+                   backend="dda"):
+    """Row-sharded render: each device traces height/n rows.
+
+    Returns the full (H, W, 4) framebuffer (sharded over rows on the
+    mesh; convert with np.asarray to gather to host).
+    """
+    from ..models.scene import Light
+    from ..ops.intersect import make_camera_rays
+    from ..render import shading
+    from ..render.pipeline import render_rays
+
+    light = light or Light()
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    assert height % n == 0, (
+        f"height {height} must divide across {n} devices")
+
+    lp = jnp.asarray(light.position, jnp.float32)
+    li = jnp.float32(light.intensity)
+    lt = jnp.int32(light.type)
+    cc = jnp.asarray(clear_color, jnp.float32)
+
+    # ray generation is cheap: compute per-shard rows inside the shard
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    def _render(scene_rep, vi, pi):
+        row0 = jax.lax.axis_index(axis) * (height // n)
+        origins, dirs = make_camera_rays(width, height, vi, pi)
+        o = jax.lax.dynamic_slice_in_dim(origins, row0, height // n, axis=0)
+        d = jax.lax.dynamic_slice_in_dim(dirs, row0, height // n, axis=0)
+        rgb = render_rays(scene_rep, o, d, lp, li, lt, cc, backend=backend)
+        rgba = jnp.concatenate(
+            [rgb, jnp.ones(rgb.shape[:-1] + (1,), jnp.float32)], axis=-1)
+        return shading.gamma_post(rgba)
+
+    return _render(scene, jnp.asarray(view_inv), jnp.asarray(proj_inv))

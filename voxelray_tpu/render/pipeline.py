@@ -1,0 +1,216 @@
+"""The render pipeline: one jitted camera-to-framebuffer function.
+
+Replaces the reference's whole RT pipeline + SBT machinery
+(hello_vulkan.cpp:798-1025, raytrace at :1030-1050): shader-group dispatch
+becomes branch-free select between the two closest-hit programs; the
+recursion-depth-2 camera+shadow ray pair becomes two traversal passes.
+
+Per-pixel contract reproduced end to end:
+
+  raygen (raytrace.rgen:39-67)
+    -> nearest hit over { triangle BLAS, voxel AABB BLAS }
+    -> triangle CH (raytrace.rchit): interpolated normal, texture-modulated
+       diffuse, attenuation 1 -> shadow ray if dot(N,L)>0 -> 0.3 if
+       shadowed else specular
+    -> voxel CH (raytrace2.rchit): dominant-axis cube normal, attenuation
+       0.3 default -> shadow ray if dot(N,L)>0 -> 1 + specular if unshadowed
+    -> miss: clearColor * 0.8 (raytrace.rmiss:37)
+  post: pow(rgba, 1/2.2) (post.frag:35-36)
+
+Camera matrices and light state are traced arguments: per-frame updates
+never recompile and never touch the host inside render (the
+"zero host round-trips" requirement, SURVEY.md section 2.4).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.scene import Light, Scene
+from ..ops.intersect import TMAX, TMIN, make_camera_rays
+from ..ops.traverse import (any_hit_aabbs_brute, any_hit_grid_dda,
+                            any_hit_triangles_brute, trace_aabbs_brute,
+                            trace_grid_dda, trace_triangles_brute)
+from . import shading
+from .camera import Camera
+
+__all__ = ["render_rays", "render_image", "render_scene"]
+
+
+def _sample_texture(textures, layer, uv):
+    """Bilinear sample with repeat addressing; layer -1 -> white."""
+    t, h, w, _ = textures.shape
+    layer_c = jnp.clip(layer, 0, t - 1)
+    u = uv[..., 0] * w - 0.5
+    v = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(u)
+    y0 = jnp.floor(v)
+    fu = (u - x0)[..., None]
+    fv = (v - y0)[..., None]
+
+    def fetch(xi, yi):
+        xi = jnp.mod(xi.astype(jnp.int32), w)
+        yi = jnp.mod(yi.astype(jnp.int32), h)
+        return textures[layer_c, yi, xi]
+
+    c = (fetch(x0, y0) * (1 - fu) * (1 - fv)
+         + fetch(x0 + 1, y0) * fu * (1 - fv)
+         + fetch(x0, y0 + 1) * (1 - fu) * fv
+         + fetch(x0 + 1, y0 + 1) * fu * fv)
+    return jnp.where((layer >= 0)[..., None], c, 1.0)
+
+
+def _trace_voxels(scene: Scene, origins, dirs, t_min, t_max, backend):
+    if backend == "dda" and scene.occ_flat.shape[0] > 0:
+        t, lin = trace_grid_dda(
+            origins, dirs, scene.occ_flat, scene.grid_origin,
+            dims=scene.grid_dims, voxel_size_static=scene.grid_voxel_size,
+            t_min=t_min, t_max=t_max)
+        return t, lin
+    t, pid = trace_aabbs_brute(origins, dirs, scene.voxel_aabbs,
+                               t_min=t_min, t_max=t_max)
+    return t, pid
+
+
+def _voxel_center_of_hit(scene: Scene, hit_id, backend):
+    """Cell center for the hit primitive (the (min+max)/2 the voxel CH
+    computes, raytrace2.rchit:57-60)."""
+    if backend == "dda" and scene.occ_flat.shape[0] > 0:
+        nx, ny, _ = scene.grid_dims
+        lin = jnp.maximum(hit_id, 0)
+        x = lin % nx
+        y = (lin // nx) % ny
+        z = lin // (nx * ny)
+        vs = jnp.float32(scene.grid_voxel_size)
+        idx = jnp.stack([x, y, z], axis=-1).astype(jnp.float32)
+        return scene.grid_origin + (idx + 0.5) * vs
+    box = scene.voxel_aabbs[jnp.maximum(hit_id, 0)]
+    return (box[..., 0:3] + box[..., 3:6]) * 0.5
+
+
+def _any_hit(scene: Scene, origins, dirs, t_min, t_max, backend):
+    occluded = jnp.zeros(origins.shape[:-1], bool)
+    if scene.n_triangles:
+        occluded |= any_hit_triangles_brute(
+            origins, dirs, scene.tri_v0, scene.tri_v1, scene.tri_v2,
+            t_min=t_min, t_max=t_max)
+    if backend == "dda" and scene.occ_flat.shape[0] > 0:
+        occluded |= any_hit_grid_dda(
+            origins, dirs, scene.occ_flat, scene.grid_origin,
+            dims=scene.grid_dims, voxel_size_static=scene.grid_voxel_size,
+            t_min=t_min, t_max=t_max)
+    elif scene.n_voxels:
+        occluded |= any_hit_aabbs_brute(origins, dirs, scene.voxel_aabbs,
+                                        t_min=t_min, t_max=t_max)
+    return occluded
+
+
+def render_rays(scene: Scene, origins, dirs, light_position,
+                light_intensity, light_type, clear_color, *,
+                backend="dda", t_min=TMIN, t_max=TMAX):
+    """Trace + shade a ray batch; returns linear-space RGB (..., 3)."""
+    # ---- closest hit over both geometry kinds --------------------------
+    if scene.n_triangles:
+        t_tri, tri_id, bu, bv = trace_triangles_brute(
+            origins, dirs, scene.tri_v0, scene.tri_v1, scene.tri_v2,
+            t_min=t_min, t_max=t_max)
+    else:
+        t_tri = jnp.full(origins.shape[:-1], jnp.inf, jnp.float32)
+        tri_id = jnp.full(origins.shape[:-1], -1, jnp.int32)
+        bu = bv = jnp.zeros(origins.shape[:-1], jnp.float32)
+    t_vox, vox_id = _trace_voxels(scene, origins, dirs, t_min, t_max,
+                                  backend)
+
+    vox_hit = jnp.isfinite(t_vox) & (t_vox < t_tri)
+    tri_hit = jnp.isfinite(t_tri) & ~vox_hit
+    any_hit = vox_hit | tri_hit
+    t_hit = jnp.where(vox_hit, t_vox, t_tri)
+    t_hit_safe = jnp.where(any_hit, t_hit, 1.0)
+    world_pos = origins + dirs * t_hit_safe[..., None]
+
+    # ---- normals -------------------------------------------------------
+    tid = jnp.maximum(tri_id, 0)
+    w = (1.0 - bu - bv)[..., None]
+    n_tri = (scene.tri_n0[tid] * w + scene.tri_n1[tid] * bu[..., None]
+             + scene.tri_n2[tid] * bv[..., None])
+    n_tri = n_tri / jnp.maximum(
+        jnp.linalg.norm(n_tri, axis=-1, keepdims=True), 1e-20)
+    center = _voxel_center_of_hit(scene, vox_id, backend)
+    n_vox = shading.cube_normal(world_pos, center)
+    normal = jnp.where(vox_hit[..., None], n_vox, n_tri)
+
+    # ---- materials -----------------------------------------------------
+    mat_tri = scene.materials[scene.tri_mat[tid]]
+    mat = jnp.where(vox_hit[..., None], scene.voxel_material, mat_tri)
+
+    # ---- light ---------------------------------------------------------
+    l_vec, intensity, light_dist = shading.light_terms(
+        world_pos, light_position, light_intensity, light_type)
+
+    diffuse = shading.compute_diffuse(mat, l_vec, normal)
+    uv = (scene.tri_uv0[tid] * w + scene.tri_uv1[tid] * bu[..., None]
+          + scene.tri_uv2[tid] * bv[..., None])
+    tex_rgb = _sample_texture(scene.textures, scene.tri_tex[tid], uv)
+    diffuse = jnp.where(tri_hit[..., None], diffuse * tex_rgb, diffuse)
+
+    # ---- shadow ray ----------------------------------------------------
+    facing = (normal * l_vec).sum(-1) > 0.0
+    shadowed = _any_hit(scene, world_pos, l_vec, TMIN, light_dist, backend)
+    shadowed = jnp.where(facing, shadowed, True)  # only traced when facing
+
+    specular = shading.compute_specular(mat, dirs, l_vec, normal)
+    lit = facing & ~shadowed
+    # triangle CH: attenuation 1 unless (facing and shadowed) -> 0.3
+    att_tri = jnp.where(facing & shadowed, 0.3, 1.0)
+    # voxel CH: attenuation 0.3 unless (facing and unshadowed) -> 1
+    att_vox = jnp.where(lit, 1.0, 0.3)
+    attenuation = jnp.where(vox_hit, att_vox, att_tri)
+    specular = jnp.where(lit[..., None], specular, 0.0)
+
+    color = intensity[..., None] * attenuation[..., None] \
+        * (diffuse + specular)
+    miss = shading.miss_color(clear_color)
+    return jnp.where(any_hit[..., None], color, miss)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scene_static", "width", "height", "backend"),
+)
+def _render_jit(scene, view_inv, proj_inv, light_position, light_intensity,
+                light_type, clear_color, *, scene_static, width, height,
+                backend):
+    origins, dirs = make_camera_rays(width, height, view_inv, proj_inv)
+    rgb = render_rays(scene, origins, dirs, light_position, light_intensity,
+                      light_type, clear_color, backend=backend)
+    rgba = jnp.concatenate([rgb, jnp.ones(rgb.shape[:-1] + (1,),
+                                          jnp.float32)], axis=-1)
+    return shading.gamma_post(rgba)
+
+
+def render_image(scene: Scene, view_inv, proj_inv, *, width, height,
+                 light: Light = Light(), clear_color=(1.0, 1.0, 1.0, 1.0),
+                 backend="dda"):
+    """Framebuffer (H, W, 4) float32, gamma-corrected."""
+    return _render_jit(
+        scene, jnp.asarray(view_inv), jnp.asarray(proj_inv),
+        jnp.asarray(light.position, jnp.float32),
+        jnp.float32(light.intensity), jnp.int32(light.type),
+        jnp.asarray(clear_color, jnp.float32),
+        scene_static=(scene.grid_dims, scene.grid_voxel_size),
+        width=width, height=height, backend=backend,
+    )
+
+
+def render_scene(scene: Scene, camera: Camera = Camera(), *, width=1280,
+                 height=720, light: Light = Light(),
+                 clear_color=(1.0, 1.0, 1.0, 1.0), backend="dda"):
+    """Convenience wrapper: camera dataclass in, image out (the main.cpp
+    frame loop without the window)."""
+    _, _, view_inv, proj_inv = camera.matrices(width, height)
+    return render_image(scene, view_inv, proj_inv, width=width,
+                        height=height, light=light,
+                        clear_color=clear_color, backend=backend)
