@@ -1,0 +1,72 @@
+"""Multi-chip paths on the 8-device virtual CPU mesh.
+
+Sharded voxelization (triangles + OR all-reduce) and sharded render
+(pixel rows) must produce exactly the single-device results — JAX's
+functional semantics make this deterministic by construction; these tests
+pin it.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from voxelray_tpu.io import meshes
+from voxelray_tpu.models.grids import GridBool
+from voxelray_tpu.models.scene import build_scene
+from voxelray_tpu.ops.voxelize import required_window_shape, voxelize_mesh
+from voxelray_tpu.parallel.comm import (make_mesh, render_sharded,
+                                        voxelize_sharded)
+from voxelray_tpu.render.camera import Camera
+from voxelray_tpu.render.pipeline import render_image
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    return make_mesh(8)
+
+
+def test_sharded_voxelize_matches_single(mesh8):
+    v, f = meshes.icosphere(2)
+    vs = 0.12
+    single = voxelize_mesh(v, f, vs)
+    win = required_window_shape(v, f, single["origin"], vs, single["dims"])
+    occ, calls = voxelize_sharded(
+        v[f], single["origin"], mesh8, dims=single["dims"],
+        voxel_size=vs, window=win, chunk=64)
+    assert np.array_equal(np.asarray(occ), np.asarray(single["occ"]))
+    assert int(calls) == single["set_calls"]
+
+
+def test_sharded_render_matches_single(mesh8):
+    v, f = meshes.bunny_like(2)
+    grid = GridBool.from_mesh(v, f, 0.11)
+    scene = build_scene(models=None, grid=grid)
+    W, H = 64, 32
+    cam = Camera()
+    _, _, vi, pi = cam.matrices(W, H)
+    a = np.asarray(render_image(scene, vi, pi, width=W, height=H))
+    b = np.asarray(render_sharded(scene, vi, pi, mesh8, width=W, height=H))
+    assert a.shape == b.shape
+    assert np.allclose(a, b, rtol=2e-6, atol=1e-7)
+
+
+def test_or_reduce_semantics(mesh8):
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from voxelray_tpu.parallel.comm import or_reduce_occupancy
+
+    @partial(jax.shard_map, mesh=mesh8, in_specs=P("rays"), out_specs=P())
+    def go(x):
+        return or_reduce_occupancy(x[0], "rays")
+
+    x = np.zeros((8, 16), np.uint8)
+    x[2, 5] = 1
+    x[7, 5] = 1
+    x[3, 9] = 1
+    out = np.asarray(go(x))
+    want = np.zeros(16, np.uint8)
+    want[5] = want[9] = 1
+    assert np.array_equal(out, want)

@@ -1,0 +1,164 @@
+"""Command-line driver — the main.cpp replacement.
+
+Reference usage: `exe <obj-path> <voxelSize>` (README.md:57, main.cpp:163):
+loads the ground plane, voxelizes argv[1] at argv[2], renders interactively.
+Here the interactive loop becomes an offline frame batch:
+
+  python -m voxelray_tpu.cli scene.obj 0.05
+  python -m voxelray_tpu.cli bunny 0.02 --encoding octree --frames 8 \\
+      --width 1920 --height 1080 --out frames.npy
+
+Mesh argument is a .obj path or a procedural registry name
+(cube/plane/bunny/sphere/knot/knot1m).  Prints the same build stats the
+reference prints (bbox, dims, triangle count, build/extract ms, bytes).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="voxelray", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("mesh", help=".obj path or registry name")
+    p.add_argument("voxel_size", type=float)
+    p.add_argument("--encoding", default="bool",
+                   choices=["bool", "aabbstruct", "vec", "octree"])
+    p.add_argument("--width", type=int, default=1280)
+    p.add_argument("--height", type=int, default=720)
+    p.add_argument("--frames", type=int, default=1,
+                   help=">1 renders an orbit fly-through batch")
+    p.add_argument("--mode", default="ray", choices=["ray", "raster"])
+    p.add_argument("--backend", default="dda", choices=["dda", "brute"])
+    p.add_argument("--no-plane", action="store_true",
+                   help="skip the ground-plane model (main.cpp:160)")
+    p.add_argument("--light", type=float, nargs=3, default=[10.0, 55.0, 8.0])
+    p.add_argument("--light-intensity", type=float, default=1000.0)
+    p.add_argument("--light-type", type=int, default=0, choices=[0, 1])
+    p.add_argument("--clear-color", type=float, nargs=4,
+                   default=[1.0, 1.0, 1.0, 1.0])
+    p.add_argument("--out", default=None,
+                   help="write frames as .npy (or .png when supported)")
+    p.add_argument("--save-grid", default=None, help="checkpoint grid .npz")
+    p.add_argument("--runs", type=int, default=1,
+                   help="Benchmaker-style repeat count for build timing")
+    return p
+
+
+def load_mesh_arg(name):
+    import numpy as np
+
+    from .io import meshes
+    from .io.objload import load_mesh
+
+    if name.endswith(".obj"):
+        raw = load_mesh(name)
+        return raw.vertices, raw.faces
+    return meshes.make_scene_mesh(name)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import numpy as np
+
+    from .io import meshes as mesh_registry
+    from .io.objload import ObjLoader, write_obj
+    from .models.grids import build_grid
+    from .models.scene import Light, build_scene
+    from .render.camera import Camera, orbit_path
+    from .render.pipeline import render_scene
+    from .render.raster import rasterize_scene
+    from .utils.logging import BuildStats
+    from .utils.timing import Benchmarker
+
+    v, f = load_mesh_arg(args.mesh)
+    print(f"Loaded mesh: {len(v)} vertices, {len(f)} triangles")
+
+    # ---- voxelize (with the reference's timing prints) ----------------
+    bench = Benchmarker(runs=args.runs, warmup=0)
+    res = bench.measure_build(
+        lambda: build_grid(args.encoding, v, f, args.voxel_size),
+        extract_fn=lambda g: g.get_aabbs(),
+    )
+    grid = res.extra["grid"]
+    from .ops.geometry import mesh_bbox
+    bb_min, bb_max = mesh_bbox(v)
+    print(f"Bounding box: min({bb_min[0]},{bb_min[1]},{bb_min[2]})")
+    print(f"Bounding box: max({bb_max[0]},{bb_max[1]},{bb_max[2]})")
+    dims = grid.dims
+    print(f"Grid dimensions: {dims[0]}x{dims[1]}x{dims[2]}")
+    print(f"Voxel size: {args.voxel_size}")
+    print(f"Total triangles processed: {len(f)}")
+    print(f"Voxel build took {res.build_ms:.2f} ms (avg of {args.runs})")
+    print(f"Aabb build took {res.aabb_ms:.2f} ms")
+    print(f"Total memory usage {res.memory_bytes} bytes")
+    BuildStats().bbox(bb_min, bb_max).grid(dims, args.voxel_size) \
+        .triangles(len(f)).timing(res.build_ms, res.aabb_ms) \
+        .memory(res.memory_bytes).emit()
+
+    if args.save_grid:
+        from .utils.checkpoint import save_grid
+        save_grid(args.save_grid, grid)
+        print(f"Saved grid checkpoint to {args.save_grid}")
+
+    # ---- scene --------------------------------------------------------
+    models = []
+    if not args.no_plane:
+        import tempfile
+
+        pv, pf = mesh_registry.plane(20.0)
+        with tempfile.NamedTemporaryFile(suffix=".obj", delete=False) as fh:
+            write_obj(fh.name, pv, pf)
+            models.append(ObjLoader().load_model(fh.name))
+
+    aabbs = None
+    occ_grid = grid
+    if args.encoding in ("vec", "octree"):
+        aabbs = np.asarray(grid.get_aabbs())
+        occ_grid = {
+            "occ": np.asarray(grid.occupancy()), "dims": grid.dims,
+            "origin": np.asarray(grid.root_min if args.encoding == "octree"
+                                 else grid.origin),
+            "voxel_size": grid.voxel_size,
+        }
+    scene = build_scene(models=models, grid=occ_grid, aabbs=aabbs)
+
+    light = Light(position=tuple(args.light),
+                  intensity=args.light_intensity, type=args.light_type)
+
+    cams = (orbit_path(args.frames) if args.frames > 1 else [Camera()])
+    frames = []
+    for i, cam in enumerate(cams):
+        t0 = time.perf_counter()
+        if args.mode == "raster":
+            img = rasterize_scene(scene, cam, width=args.width,
+                                  height=args.height, light=light,
+                                  clear_color=tuple(args.clear_color))
+        else:
+            img = render_scene(scene, cam, width=args.width,
+                               height=args.height, light=light,
+                               clear_color=tuple(args.clear_color),
+                               backend=args.backend)
+        img = np.asarray(img)
+        dt = time.perf_counter() - t0
+        mrays = args.width * args.height / dt / 1e6
+        print(f"frame {i}: {dt*1e3:.1f} ms ({mrays:.1f} Mrays/s)")
+        frames.append(img)
+
+    if args.out:
+        out = np.stack(frames) if len(frames) > 1 else frames[0]
+        if args.out.endswith(".png"):
+            from .io.textures import write_png
+            write_png(args.out, frames[-1])
+        else:
+            np.save(args.out, out)
+        print(f"Wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -163,7 +163,9 @@ def load_materials(path: str) -> tuple[list[Material], list[str]]:
             elif key == "illum":
                 cur.illum = int(float(parts[1]))
             elif key == "map_Kd" and len(parts) >= 2:
-                name = parts[-1]
+                # store dir-resolved path so the scene builder can load it
+                name = os.path.join(os.path.dirname(os.path.abspath(path)),
+                                    parts[-1])
                 textures.append(name)
                 cur.texture_id = len(textures) - 1
     return materials, textures

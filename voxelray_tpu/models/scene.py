@@ -129,9 +129,14 @@ def build_scene(models=None, grid=None, aabbs=None,
         rows = _srgb_to_linear_rows(np.asarray(model.materials, np.float32))
         mats_rows.append(rows)
         mat_ids.append(np.asarray(model.mat_index, np.int32) + mat_offset)
-        # texture id per triangle resolved through its material
+        # texture id per triangle resolved through its material; the
+        # model's texture files load now (magenta fallback on failure,
+        # hello_vulkan.cpp:323-331)
         tex_of_mat = rows[:, 19].astype(np.int32)
         tex_base = len(textures)
+        from ..io.textures import load_texture
+        for name in model.textures:
+            textures.append(load_texture(name))
         per_tri_tex = tex_of_mat[np.asarray(model.mat_index, np.int32)]
         per_tri_tex = np.where(per_tri_tex >= 0, per_tri_tex + tex_base, -1)
         tex_ids.append(per_tri_tex)

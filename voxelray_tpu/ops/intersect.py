@@ -36,7 +36,7 @@ def make_camera_rays(width: int, height: int, view_inv, proj_inv):
     target = jnp.einsum("ij,hwj->hwi", proj_inv, d)
     tn = target[..., :3]
     tn = tn / jnp.linalg.norm(tn, axis=-1, keepdims=True)
-    direction = jnp.einsum("ij,hwj->hwi", view_inv[:, :3], tn)
+    direction = jnp.einsum("ij,hwj->hwi", view_inv[:3, :3], tn)
     origin = view_inv[:3, 3]
     origins = jnp.broadcast_to(origin, direction.shape)
     return origins, direction

@@ -236,7 +236,18 @@ def trace_grid_dda(origins, dirs, occ_flat, grid_origin, *, dims,
             (jnp.full((n_rays,), jnp.inf, jnp.float32),
              jnp.full((n_rays,), -1, jnp.int32)),
             inside, jnp.int32(0))
-    _, _, (t, lin), _, _ = jax.lax.while_loop(cond, body, init)
+    _, _, (_t_loop, lin), _, _ = jax.lax.while_loop(cond, body, init)
+
+    # Recompute the final hit t OUTSIDE the while loop: XLA may contract
+    # the in-loop slab expression into FMAs, drifting a few ulp from the
+    # brute backend; this standalone evaluation restores bit-exact parity.
+    hit = lin >= 0
+    lin_safe = jnp.maximum(lin, 0)
+    hx = lin_safe % nx
+    hy = (lin_safe // nx) % ny
+    hz = lin_safe // (nx * ny)
+    hcell = jnp.stack([hx, hy, hz], axis=-1)
+    t = jnp.where(hit, cell_hit_t(hcell), jnp.inf)
     return t.reshape(batch_shape), lin.reshape(batch_shape)
 
 

@@ -73,6 +73,7 @@ def voxelize_sharded(tri_verts, origin, mesh: Mesh, *, dims,
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(axis), P()), out_specs=(P(), P()),
+        check_vma=False,
     )
     def _vox(tri_shard, org):
         occ, calls = voxelize_dense(

@@ -134,16 +134,26 @@ def render_rays(scene: Scene, origins, dirs, light_position,
     # ---- normals -------------------------------------------------------
     tid = jnp.maximum(tri_id, 0)
     w = (1.0 - bu - bv)[..., None]
-    n_tri = (scene.tri_n0[tid] * w + scene.tri_n1[tid] * bu[..., None]
-             + scene.tri_n2[tid] * bv[..., None])
-    n_tri = n_tri / jnp.maximum(
-        jnp.linalg.norm(n_tri, axis=-1, keepdims=True), 1e-20)
-    center = _voxel_center_of_hit(scene, vox_id, backend)
-    n_vox = shading.cube_normal(world_pos, center)
+    if scene.n_triangles:
+        n_tri = (scene.tri_n0[tid] * w + scene.tri_n1[tid] * bu[..., None]
+                 + scene.tri_n2[tid] * bv[..., None])
+        n_tri = n_tri / jnp.maximum(
+            jnp.linalg.norm(n_tri, axis=-1, keepdims=True), 1e-20)
+    else:
+        n_tri = jnp.zeros(world_pos.shape, jnp.float32)
+    if scene.n_voxels or scene.occ_flat.shape[0]:
+        center = _voxel_center_of_hit(scene, vox_id, backend)
+        n_vox = shading.cube_normal(world_pos, center)
+    else:
+        n_vox = jnp.zeros(world_pos.shape, jnp.float32)
     normal = jnp.where(vox_hit[..., None], n_vox, n_tri)
 
     # ---- materials -----------------------------------------------------
-    mat_tri = scene.materials[scene.tri_mat[tid]]
+    if scene.n_triangles:
+        mat_tri = scene.materials[scene.tri_mat[tid]]
+    else:
+        mat_tri = jnp.broadcast_to(
+            scene.voxel_material, world_pos.shape[:-1] + (20,))
     mat = jnp.where(vox_hit[..., None], scene.voxel_material, mat_tri)
 
     # ---- light ---------------------------------------------------------
@@ -151,10 +161,11 @@ def render_rays(scene: Scene, origins, dirs, light_position,
         world_pos, light_position, light_intensity, light_type)
 
     diffuse = shading.compute_diffuse(mat, l_vec, normal)
-    uv = (scene.tri_uv0[tid] * w + scene.tri_uv1[tid] * bu[..., None]
-          + scene.tri_uv2[tid] * bv[..., None])
-    tex_rgb = _sample_texture(scene.textures, scene.tri_tex[tid], uv)
-    diffuse = jnp.where(tri_hit[..., None], diffuse * tex_rgb, diffuse)
+    if scene.n_triangles:
+        uv = (scene.tri_uv0[tid] * w + scene.tri_uv1[tid] * bu[..., None]
+              + scene.tri_uv2[tid] * bv[..., None])
+        tex_rgb = _sample_texture(scene.textures, scene.tri_tex[tid], uv)
+        diffuse = jnp.where(tri_hit[..., None], diffuse * tex_rgb, diffuse)
 
     # ---- shadow ray ----------------------------------------------------
     facing = (normal * l_vec).sum(-1) > 0.0
