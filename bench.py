@@ -23,8 +23,9 @@ def log(msg):
 
 
 def main():
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          "/tmp/jax_cache_voxelray")
+    from voxelray_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np

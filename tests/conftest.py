@@ -22,6 +22,10 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu"
 
+from voxelray_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Persistent compilation cache: XLA:CPU compile times for scatter-heavy

@@ -32,7 +32,8 @@ def build_parser():
     p.add_argument("--frames", type=int, default=1,
                    help=">1 renders an orbit fly-through batch")
     p.add_argument("--mode", default="ray", choices=["ray", "raster"])
-    p.add_argument("--backend", default="dda", choices=["dda", "brute"])
+    p.add_argument("--backend", default="fast",
+                   choices=["fast", "dda", "brute"])
     p.add_argument("--no-plane", action="store_true",
                    help="skip the ground-plane model (main.cpp:160)")
     p.add_argument("--light", type=float, nargs=3, default=[10.0, 55.0, 8.0])
@@ -55,6 +56,13 @@ def load_mesh_arg(name):
     from .io.objload import load_mesh
 
     if name.endswith(".obj"):
+        # native parser for large scans (geometry only — the voxelize path
+        # ignores materials, matching VoxelBuilder.hpp:376-395)
+        from . import native as vnative
+        parsed = (vnative.parse_obj_native(name)
+                  if vnative.available() else None)
+        if parsed is not None and len(parsed[0]):
+            return parsed
         raw = load_mesh(name)
         return raw.vertices, raw.faces
     return meshes.make_scene_mesh(name)
@@ -62,6 +70,9 @@ def load_mesh_arg(name):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    from .utils.cache import enable_compile_cache
+    enable_compile_cache()
 
     import numpy as np
 

@@ -214,9 +214,20 @@ class Octree:
         x = (lin_np % nx).astype(np.uint64)
         y = ((lin_np // nx) % ny).astype(np.uint64)
         z = (lin_np // (nx * ny)).astype(np.uint64)
-        codes = np.sort(morton_encode3_np(x, y, z))
 
-        nodes = build_nodes(codes, max_depth, int(max_items_per_leaf))
+        # native encode/sort/build when the C++ runtime is present
+        # (bit-identical to the numpy path; tests pin both)
+        from .. import native as vnative
+        if vnative.available():
+            codes = vnative.sort_codes_native(
+                vnative.morton_encode_native(
+                    x.astype(np.uint32), y.astype(np.uint32),
+                    z.astype(np.uint32)))
+            nodes = vnative.build_octree_nodes_native(
+                codes, max_depth, int(max_items_per_leaf))
+        else:
+            codes = np.sort(morton_encode3_np(x, y, z))
+            nodes = build_nodes(codes, max_depth, int(max_items_per_leaf))
         return cls(
             code_hi=jnp.asarray((codes >> np.uint64(32)).astype(np.uint32)),
             code_lo=jnp.asarray((codes & np.uint64(0xFFFFFFFF)).astype(np.uint32)),

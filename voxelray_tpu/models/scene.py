@@ -72,6 +72,7 @@ class Scene:
     voxel_material: Any             # float32[20] (default MaterialObj)
     occ_flat: Any                   # uint8[X*Y*Z] dense occupancy
     grid_origin: Any                # float32[3]
+    accel: Any                      # BrickAccel or None (the "BLAS")
     grid_dims: tuple = field(metadata=dict(static=True))
     grid_voxel_size: float = field(metadata=dict(static=True))
 
@@ -197,6 +198,15 @@ def build_scene(models=None, grid=None, aabbs=None,
 
     vox_mat = (voxel_material or Material()).as_row()
 
+    # the "BLAS build": brick acceleration structure for the fast backend
+    accel = None
+    if grid is not None and occ_flat.size:
+        from ..ops.traverse_fast import build_accel
+        accel = build_accel(
+            np.asarray(occ_flat, np.uint8).reshape(
+                g_dims[2], g_dims[1], g_dims[0]),
+            np.asarray(g_org, np.float32), float(g_vs))
+
     as_j = jnp.asarray
     return Scene(
         tri_v0=as_j(tri_v0), tri_v1=as_j(tri_v1), tri_v2=as_j(tri_v2),
@@ -208,6 +218,7 @@ def build_scene(models=None, grid=None, aabbs=None,
         voxel_material=as_j(vox_mat),
         occ_flat=as_j(occ_flat), grid_origin=as_j(np.asarray(g_org,
                                                              np.float32)),
+        accel=accel,
         grid_dims=tuple(int(x) for x in g_dims),
         grid_voxel_size=float(g_vs),
     )
