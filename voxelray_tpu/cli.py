@@ -34,6 +34,10 @@ def build_parser():
     p.add_argument("--mode", default="ray", choices=["ray", "raster"])
     p.add_argument("--backend", default="fast",
                    choices=["fast", "dda", "brute"])
+    p.add_argument("--no-shadows", action="store_true",
+                   help="disable shadow rays")
+    p.add_argument("--aov", action="store_true",
+                   help="output depth+normal buffers instead of color")
     p.add_argument("--no-plane", action="store_true",
                    help="skip the ground-plane model (main.cpp:160)")
     p.add_argument("--light", type=float, nargs=3, default=[10.0, 55.0, 8.0])
@@ -149,11 +153,19 @@ def main(argv=None):
             img = rasterize_scene(scene, cam, width=args.width,
                                   height=args.height, light=light,
                                   clear_color=tuple(args.clear_color))
+        elif args.aov:
+            from .render.pipeline import render_aov
+            depth, normal, hit = render_aov(scene, cam, width=args.width,
+                                            height=args.height,
+                                            backend=args.backend)
+            img = np.concatenate([np.asarray(depth)[..., None],
+                                  np.asarray(normal)], axis=-1)
         else:
             img = render_scene(scene, cam, width=args.width,
                                height=args.height, light=light,
                                clear_color=tuple(args.clear_color),
-                               backend=args.backend)
+                               backend=args.backend,
+                               shadows=not args.no_shadows)
         img = np.asarray(img)
         dt = time.perf_counter() - t0
         mrays = args.width * args.height / dt / 1e6

@@ -1,0 +1,231 @@
+"""Pallas kernel: per-voxel DDA inside a ray's hit brick.
+
+Second stage of the accelerated traversal (after grid_walk finds each
+ray's next occupied 8^3 brick): the brick's 16 occupancy words arrive
+pre-gathered from HBM, and this kernel walks the <= 22 cells the ray
+actually crosses inside the brick — replacing the dense 512-cell slab
+pass, whose (N, 512) float intermediates made it HBM-bandwidth-bound.
+
+Per step: a 16-way register mux picks the word for the current cell,
+the cell's AABB slab t0 is evaluated with the reference float expressions
+(raytrace.rint:46-56 + report/interval rules), and the first accepted
+cell wins.  Everything stays in vregs; no memory traffic beyond the
+inputs.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .grid_walk import LANES
+
+__all__ = ["fine_walk"]
+
+BRICK = 8
+_INF = np.float32(np.inf)
+
+
+def _make_kernel(dims, bdims, origin, voxel_size, bq):
+    nx, ny, nz = dims
+    bx, by, _bz = bdims
+    ogx, ogy, ogz = (np.float32(origin[0]), np.float32(origin[1]),
+                     np.float32(origin[2]))
+    vs = np.float32(voxel_size)
+    half = np.float32(0.5) * vs
+    max_steps = 3 * BRICK + 1
+
+    def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               brick_ref, tmin_ref, tmax_ref, words_ref,
+               t_ref, lin_ref):
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        t_lo = tmin_ref[:]
+        t_hi = tmax_ref[:]
+        bid = brick_ref[:]
+        valid = bid >= 0
+        b = jnp.maximum(bid, 0)
+        bcx = b % bx
+        bcy = (b // bx) % by
+        bcz = b // (bx * by)
+        # brick world bounds
+        bminx = ogx + (bcx * BRICK).astype(jnp.float32) * vs
+        bminy = ogy + (bcy * BRICK).astype(jnp.float32) * vs
+        bminz = ogz + (bcz * BRICK).astype(jnp.float32) * vs
+        bwf = np.float32(BRICK) * vs
+
+        inv_x = 1.0 / dx
+        inv_y = 1.0 / dy
+        inv_z = 1.0 / dz
+
+        # entry t into the brick
+        def axis_entry(bmin, o, inv, d):
+            t0 = (bmin - o) * inv
+            t1 = (bmin + bwf - o) * inv
+            return (jnp.where(d == 0.0, -_INF, jnp.minimum(t0, t1)),
+                    jnp.where(d == 0.0, _INF, jnp.maximum(t0, t1)))
+
+        ex, xx = axis_entry(bminx, ox, inv_x, dx)
+        ey, xy = axis_entry(bminy, oy, inv_y, dy)
+        ez, xz = axis_entry(bminz, oz, inv_z, dz)
+        t_enter = jnp.maximum(jnp.maximum(ex, ey), ez)
+        t_start = jnp.maximum(t_enter, 0.0) + np.float32(1e-7)
+
+        px = ox + dx * t_start
+        py = oy + dy * t_start
+        pz = oz + dz * t_start
+        lx = jnp.clip(jnp.floor((px - bminx) / vs).astype(jnp.int32), 0,
+                      BRICK - 1)
+        ly = jnp.clip(jnp.floor((py - bminy) / vs).astype(jnp.int32), 0,
+                      BRICK - 1)
+        lz = jnp.clip(jnp.floor((pz - bminz) / vs).astype(jnp.int32), 0,
+                      BRICK - 1)
+
+        sx = jnp.where(dx >= 0, 1, -1).astype(jnp.int32)
+        sy = jnp.where(dy >= 0, 1, -1).astype(jnp.int32)
+        sz = jnp.where(dz >= 0, 1, -1).astype(jnp.int32)
+        fx = (sx > 0).astype(jnp.int32)
+        fy = (sy > 0).astype(jnp.int32)
+        fz = (sz > 0).astype(jnp.int32)
+
+        words = [words_ref[k] for k in range(16)]
+
+        def body(state):
+            lx, ly, lz, best_t, best_lin, act_i, step = state
+            act = act_i != 0
+            lin_local = lx + BRICK * (ly + BRICK * lz)
+            wsel = lin_local >> 5
+            word = jnp.zeros(lin_local.shape, jnp.uint32)
+            for k in range(16):
+                word = jnp.where(wsel == k, words[k], word)
+            occ = ((word >> (lin_local & 31).astype(jnp.uint32)) & 1) > 0
+
+            gx = bcx * BRICK + lx
+            gy = bcy * BRICK + ly
+            gz = bcz * BRICK + lz
+            in_dims = (gx < nx) & (gy < ny) & (gz < nz)
+
+            # reference cell AABB slab test
+            ccx = ogx + (gx.astype(jnp.float32) + 0.5) * vs
+            ccy = ogy + (gy.astype(jnp.float32) + 0.5) * vs
+            ccz = ogz + (gz.astype(jnp.float32) + 0.5) * vs
+            tb = inv_x * ((ccx - half) - ox)
+            tt = inv_x * ((ccx + half) - ox)
+            t0 = jnp.minimum(tb, tt)
+            t1 = jnp.maximum(tb, tt)
+            tb = inv_y * ((ccy - half) - oy)
+            tt = inv_y * ((ccy + half) - oy)
+            t0 = jnp.maximum(t0, jnp.minimum(tb, tt))
+            t1 = jnp.minimum(t1, jnp.maximum(tb, tt))
+            tb = inv_z * ((ccz - half) - oz)
+            tt = inv_z * ((ccz + half) - oz)
+            t0 = jnp.maximum(t0, jnp.minimum(tb, tt))
+            t1 = jnp.minimum(t1, jnp.maximum(tb, tt))
+            accept = (t1 > jnp.maximum(t0, 0.0)) & (t0 > 0.0) \
+                & (t0 >= t_lo) & (t0 <= t_hi)
+
+            hit = act & occ & accept & in_dims
+            best_t = jnp.where(hit, t0, best_t)
+            best_lin = jnp.where(hit, gx + nx * (gy + ny * gz), best_lin)
+            act = act & ~hit
+
+            # step to the next cell in the brick
+            tnx = jnp.where(dx == 0.0, _INF,
+                            (bminx + (lx + fx).astype(jnp.float32) * vs - ox)
+                            * inv_x)
+            tny = jnp.where(dy == 0.0, _INF,
+                            (bminy + (ly + fy).astype(jnp.float32) * vs - oy)
+                            * inv_y)
+            tnz = jnp.where(dz == 0.0, _INF,
+                            (bminz + (lz + fz).astype(jnp.float32) * vs - oz)
+                            * inv_z)
+            tmin = jnp.minimum(tnx, jnp.minimum(tny, tnz))
+            stx = act & (tnx == tmin)
+            sty = act & (~stx) & (tny == tmin)
+            stz = act & ~(stx | sty)
+            lx = lx + jnp.where(stx, sx, 0)
+            ly = ly + jnp.where(sty, sy, 0)
+            lz = lz + jnp.where(stz, sz, 0)
+            inb = ((lx >= 0) & (lx < BRICK) & (ly >= 0) & (ly < BRICK)
+                   & (lz >= 0) & (lz < BRICK))
+            act = act & inb & (tmin <= t_hi)
+            return (lx, ly, lz, best_t, best_lin,
+                    act.astype(jnp.int32), step + 1)
+
+        init = (lx, ly, lz,
+                jnp.full((bq, LANES), _INF, jnp.float32),
+                jnp.full((bq, LANES), -1, jnp.int32),
+                valid.astype(jnp.int32), jnp.int32(0))
+        if jax.default_backend() == "tpu":
+            # fully unrolled: 25 vector-only steps, no scalar loop control
+            state = init
+            for _ in range(max_steps):
+                state = body(state)
+        else:
+            # interpret mode: early-exit while keeps CPU tests fast
+            def cond(state):
+                return jnp.logical_and(state[6] < max_steps,
+                                       jnp.any(state[5] != 0))
+
+            state = jax.lax.while_loop(cond, body, init)
+        _, _, _, best_t, best_lin, _, _ = state
+        t_ref[:] = best_t
+        lin_ref[:] = best_lin
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dims", "bdims", "origin_key", "voxel_size", "bq"),
+)
+def fine_walk(ox, oy, oz, dx, dy, dz, brick, words, t_min, t_max, *,
+              dims, bdims, origin_key, voxel_size, bq=64):
+    """Resolve each ray inside its hit brick.
+
+    words: (N, 16) uint32 pre-gathered brick occupancy; brick: (N,) int32
+    (-1 = no brick).  t_min: (N,) or scalar; t_max: (N,).
+    Returns (t (N,) f32 with +inf miss, cell_lin (N,) int32 with -1).
+    """
+    n = ox.shape[0]
+    per_block = bq * LANES
+    n_blocks = max(1, -(-n // per_block))
+    pad = n_blocks * per_block - n
+
+    def prep(x, fill=0):
+        x = jnp.pad(x, (0, pad), constant_values=fill)
+        return x.reshape(n_blocks * bq, LANES)
+
+    t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    # words: (N,16) -> (16, blocks*bq, 128) so the kernel indexes
+    # words_ref[k] as a (bq,128) tile
+    w = jnp.pad(words, ((0, pad), (0, 0)))
+    w = w.transpose(1, 0).reshape(16, n_blocks * bq, LANES)
+
+    kernel = _make_kernel(dims, bdims, origin_key, voxel_size, bq)
+    grid_spec = pl.GridSpec(
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec((bq, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] * 9
+        + [pl.BlockSpec((16, bq, LANES), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((bq, LANES), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)] * 2,
+    )
+    t, lin = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks * bq, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks * bq, LANES), jnp.int32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(prep(ox), prep(oy), prep(oz),
+      prep(dx, 1.0), prep(dy, 1.0), prep(dz, 1.0),
+      prep(brick, -1), prep(t_min_b), prep(t_max),
+      w)
+    return t.reshape(-1)[:n], lin.reshape(-1)[:n]

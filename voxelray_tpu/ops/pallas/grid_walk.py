@@ -35,17 +35,32 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["coarse_walk", "mux_lookup", "LANES"]
 
 LANES = 128
+UNROLL = 16
 _INF = np.float32(np.inf)  # numpy scalar: stays a literal inside kernels
 
 
-def mux_lookup(table_ref, word_idx, bq):
-    """table[word_idx] for word_idx (BQ, 128) int32 in [0, ROWS*128)."""
+def hoist_rows(table_ref, bq):
+    """Pre-broadcast table rows when they fit comfortably in vregs."""
+    rows = table_ref.shape[0]
+    if rows * (bq // 8 or 1) > 16:
+        return None
+    return [jnp.broadcast_to(table_ref[r:r + 1, :], (bq, LANES))
+            for r in range(rows)]
+
+
+def mux_lookup(table_ref, word_idx, bq, hoisted=None):
+    """table[word_idx] via a static mux over per-row lane-gathers.
+
+    word_idx: (BQ, 128) int32 in [0, ROWS*128).  When `hoisted` row tiles
+    are provided (loop-invariant broadcasts), they are used directly.
+    """
     rows = table_ref.shape[0]
     row = (word_idx >> 7).astype(jnp.int32)
     col = (word_idx & 127).astype(jnp.int32)
     out = jnp.zeros(word_idx.shape, jnp.uint32)
     for r in range(rows):
-        tr = jnp.broadcast_to(table_ref[r:r + 1, :], (bq, LANES))
+        tr = (hoisted[r] if hoisted is not None else
+              jnp.broadcast_to(table_ref[r:r + 1, :], (bq, LANES)))
         val = jnp.take_along_axis(tr, col, axis=1)
         out = jnp.where(row == r, val, out)
     return out
@@ -60,6 +75,8 @@ def _make_kernel(bdims, origin, brick_world, max_steps, bq):
     def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                cx_ref, cy_ref, cz_ref, act_ref, tmax_ref, table_ref,
                hit_ref, ocx_ref, ocy_ref, ocz_ref, ocont_ref):
+        # loop-invariant broadcast of the brick-bitmask rows (small tables)
+        rows_bc = hoist_rows(table_ref, bq)
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
         tmax = tmax_ref[:]
@@ -90,7 +107,7 @@ def _make_kernel(bdims, origin, brick_world, max_steps, bq):
             cx, cy, cz, active_i, hit, step = state
             active = active_i != 0
             lin = cx + bx * (cy + by * cz)
-            word = mux_lookup(table_ref, lin >> 5, bq)
+            word = mux_lookup(table_ref, lin >> 5, bq, rows_bc)
             occ = ((word >> (lin & 31).astype(jnp.uint32)) & 1) > 0
             hit_now = active & occ
             hit = jnp.where(hit_now, lin, hit)
@@ -109,6 +126,17 @@ def _make_kernel(bdims, origin, brick_world, max_steps, bq):
             active = active & ~hit_now & inb & (tmin <= tmax)
             return (cx, cy, cz, active.astype(jnp.int32), hit, step + 1)
 
+        # UNROLL vector-only steps per scalar loop check on TPU: the while
+        # cond's any()-reduce + branch costs ~10-20us of scalar latency per
+        # iteration, which dominates the walk.  Interpret mode (CPU tests)
+        # keeps UNROLL=1 — unrolling only multiplies python overhead there.
+        unroll = UNROLL if jax.default_backend() == "tpu" else 1
+
+        def body_unrolled(state):
+            for _ in range(unroll):
+                state = body(state)
+            return state
+
         def cond(state):
             _, _, _, active_i, _, step = state
             return jnp.logical_and(step < max_steps,
@@ -117,7 +145,8 @@ def _make_kernel(bdims, origin, brick_world, max_steps, bq):
         init = (cx_ref[:], cy_ref[:], cz_ref[:],
                 (act_ref[:] != 0).astype(jnp.int32),
                 jnp.full((bq, LANES), -1, jnp.int32), jnp.int32(0))
-        cx, cy, cz, active_i, hit, _ = jax.lax.while_loop(cond, body, init)
+        cx, cy, cz, active_i, hit, _ = jax.lax.while_loop(
+            cond, body_unrolled, init)
         hit_ref[:] = hit
         ocx_ref[:] = cx
         ocy_ref[:] = cy
@@ -138,7 +167,7 @@ def _make_kernel(bdims, origin, brick_world, max_steps, bq):
     static_argnames=("bdims", "origin_key", "brick_world", "bq"),
 )
 def coarse_walk(ox, oy, oz, dx, dy, dz, cx, cy, cz, active, tmax, table, *,
-                bdims, origin_key, brick_world, bq=256):
+                bdims, origin_key, brick_world, bq=64):
     """Walk all rays to their next occupied brick.
 
     All ray/state arrays are (N,) and get padded/reshaped to (blocks, BQ,

@@ -184,16 +184,16 @@ def _fine_resolve_block(o, d, brick_lin, t_max, accel, t_min):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("accel_static", "rounds", "chunk"),
+    static_argnames=("accel_static", "rounds", "chunk", "fine"),
 )
 def _trace_fast_impl(o, d, accel, t_min, t_max, *, accel_static, rounds,
-                     chunk):
+                     chunk, fine="walk"):
     cx, cy, cz, active = _init_state(o, d, accel, t_max)
     n = o.shape[0]
     best_t = jnp.full((n,), jnp.inf, jnp.float32)
     best_lin = jnp.full((n,), -1, jnp.int32)
 
-    bdims, origin_key, vs = accel_static
+    bdims, origin_key, vs, accel_static_dims = accel_static
     bw = float(vs * BRICK)
 
     def round_body(state):
@@ -203,7 +203,18 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, *, accel_static, rounds,
             cx, cy, cz, active.astype(jnp.int32), t_max, accel.coarse,
             bdims=bdims, origin_key=origin_key, brick_world=bw,
             bq=chunk)
-        t, lin = _fine_resolve(o, d, hit, accel, t_min, t_max)
+        if fine == "walk":
+            from .pallas.brick_fine import fine_walk
+            bl = jnp.maximum(hit, 0)
+            flat_idx = bl[:, None] * 16 + jnp.arange(16, dtype=jnp.int32)
+            words = accel.fine.reshape(-1)[flat_idx]
+            t, lin = fine_walk(
+                o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+                hit, words, t_min, t_max,
+                dims=accel_static_dims, bdims=bdims,
+                origin_key=origin_key, voxel_size=vs, bq=chunk)
+        else:
+            t, lin = _fine_resolve(o, d, hit, accel, t_min, t_max)
         resolved = jnp.isfinite(t) & ~jnp.isfinite(best_t)
         best_t = jnp.where(resolved, t, best_t)
         best_lin = jnp.where(resolved, lin, best_lin)
@@ -223,7 +234,7 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, *, accel_static, rounds,
 
 
 def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
-                    t_max=TMAX, rounds=8, chunk=256):
+                    t_max=TMAX, rounds=16, chunk=64, fine="walk"):
     """(t, cell_lin) nearest voxel hit; same contract as trace_grid_dda."""
     batch_shape = origins.shape[:-1]
     o = origins.reshape(-1, 3)
@@ -232,13 +243,14 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
                                batch_shape).reshape(-1)
     t, lin = _trace_fast_impl(
         o, d, accel, jnp.float32(t_min), t_max_b,
-        accel_static=(accel.bdims, accel.origin_key, accel.voxel_size),
-        rounds=rounds, chunk=chunk)
+        accel_static=(accel.bdims, accel.origin_key, accel.voxel_size,
+                      accel.dims),
+        rounds=rounds, chunk=chunk, fine=fine)
     return t.reshape(batch_shape), lin.reshape(batch_shape)
 
 
 def any_hit_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
-                      t_max=TMAX, rounds=8, chunk=256):
+                      t_max=TMAX, rounds=16, chunk=64, fine="walk"):
     t, _ = trace_grid_fast(origins, dirs, accel, t_min=t_min, t_max=t_max,
-                           rounds=rounds, chunk=chunk)
+                           rounds=rounds, chunk=chunk, fine=fine)
     return jnp.isfinite(t)

@@ -37,7 +37,7 @@ from ..ops.traverse import (any_hit_aabbs_brute, any_hit_grid_dda,
 from . import shading
 from .camera import Camera
 
-__all__ = ["render_rays", "render_image", "render_scene"]
+__all__ = ["render_rays", "render_image", "render_scene", "render_aov"]
 
 
 def _sample_texture(textures, layer, uv):
@@ -118,7 +118,7 @@ def _any_hit(scene: Scene, origins, dirs, t_min, t_max, backend):
 
 def render_rays(scene: Scene, origins, dirs, light_position,
                 light_intensity, light_type, clear_color, *,
-                backend="dda", t_min=TMIN, t_max=TMAX):
+                backend="dda", t_min=TMIN, t_max=TMAX, shadows=True):
     """Trace + shade a ray batch; returns linear-space RGB (..., 3)."""
     # ---- closest hit over both geometry kinds --------------------------
     if scene.n_triangles:
@@ -177,8 +177,13 @@ def render_rays(scene: Scene, origins, dirs, light_position,
 
     # ---- shadow ray ----------------------------------------------------
     facing = (normal * l_vec).sum(-1) > 0.0
-    shadowed = _any_hit(scene, world_pos, l_vec, TMIN, light_dist, backend)
-    shadowed = jnp.where(facing, shadowed, True)  # only traced when facing
+    if shadows:
+        shadowed = _any_hit(scene, world_pos, l_vec, TMIN, light_dist,
+                            backend)
+        shadowed = jnp.where(facing, shadowed, True)  # traced when facing
+    else:
+        # shadows disabled: every facing surface counts as lit
+        shadowed = ~facing
 
     specular = shading.compute_specular(mat, dirs, l_vec, normal)
     lit = facing & ~shadowed
@@ -197,14 +202,16 @@ def render_rays(scene: Scene, origins, dirs, light_position,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scene_static", "width", "height", "backend"),
+    static_argnames=("scene_static", "width", "height", "backend",
+                     "shadows"),
 )
 def _render_jit(scene, view_inv, proj_inv, light_position, light_intensity,
                 light_type, clear_color, *, scene_static, width, height,
-                backend):
+                backend, shadows):
     origins, dirs = make_camera_rays(width, height, view_inv, proj_inv)
     rgb = render_rays(scene, origins, dirs, light_position, light_intensity,
-                      light_type, clear_color, backend=backend)
+                      light_type, clear_color, backend=backend,
+                      shadows=shadows)
     rgba = jnp.concatenate([rgb, jnp.ones(rgb.shape[:-1] + (1,),
                                           jnp.float32)], axis=-1)
     return shading.gamma_post(rgba)
@@ -212,7 +219,7 @@ def _render_jit(scene, view_inv, proj_inv, light_position, light_intensity,
 
 def render_image(scene: Scene, view_inv, proj_inv, *, width, height,
                  light: Light = Light(), clear_color=(1.0, 1.0, 1.0, 1.0),
-                 backend="dda"):
+                 backend="dda", shadows=True):
     """Framebuffer (H, W, 4) float32, gamma-corrected."""
     return _render_jit(
         scene, jnp.asarray(view_inv), jnp.asarray(proj_inv),
@@ -220,16 +227,64 @@ def render_image(scene: Scene, view_inv, proj_inv, *, width, height,
         jnp.float32(light.intensity), jnp.int32(light.type),
         jnp.asarray(clear_color, jnp.float32),
         scene_static=(scene.grid_dims, scene.grid_voxel_size),
-        width=width, height=height, backend=backend,
+        width=width, height=height, backend=backend, shadows=shadows,
     )
 
 
 def render_scene(scene: Scene, camera: Camera = Camera(), *, width=1280,
                  height=720, light: Light = Light(),
-                 clear_color=(1.0, 1.0, 1.0, 1.0), backend="dda"):
+                 clear_color=(1.0, 1.0, 1.0, 1.0), backend="dda",
+                 shadows=True):
     """Convenience wrapper: camera dataclass in, image out (the main.cpp
     frame loop without the window)."""
     _, _, view_inv, proj_inv = camera.matrices(width, height)
     return render_image(scene, view_inv, proj_inv, width=width,
                         height=height, light=light,
-                        clear_color=clear_color, backend=backend)
+                        clear_color=clear_color, backend=backend,
+                        shadows=shadows)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("width", "height", "backend"))
+def _aov_jit(scene, view_inv, proj_inv, *, width, height, backend):
+    origins, dirs = make_camera_rays(width, height, view_inv, proj_inv)
+    if scene.n_triangles:
+        t_tri, tri_id, bu, bv = trace_triangles_brute(
+            origins, dirs, scene.tri_v0, scene.tri_v1, scene.tri_v2)
+    else:
+        t_tri = jnp.full(origins.shape[:-1], jnp.inf, jnp.float32)
+        tri_id = jnp.full(origins.shape[:-1], -1, jnp.int32)
+        bu = bv = jnp.zeros(origins.shape[:-1], jnp.float32)
+    t_vox, vox_id = _trace_voxels(scene, origins, dirs, TMIN, TMAX, backend)
+    vox_hit = jnp.isfinite(t_vox) & (t_vox < t_tri)
+    tri_hit = jnp.isfinite(t_tri) & ~vox_hit
+    any_hit = vox_hit | tri_hit
+    t_hit = jnp.where(vox_hit, t_vox, t_tri)
+    world_pos = origins + dirs * jnp.where(any_hit, t_hit, 1.0)[..., None]
+    tid = jnp.maximum(tri_id, 0)
+    w = (1.0 - bu - bv)[..., None]
+    if scene.n_triangles:
+        n_tri = (scene.tri_n0[tid] * w + scene.tri_n1[tid] * bu[..., None]
+                 + scene.tri_n2[tid] * bv[..., None])
+        n_tri = n_tri / jnp.maximum(
+            jnp.linalg.norm(n_tri, axis=-1, keepdims=True), 1e-20)
+    else:
+        n_tri = jnp.zeros(world_pos.shape, jnp.float32)
+    if scene.occ_flat.shape[0] or scene.n_voxels:
+        center = _voxel_center_of_hit(scene, vox_id, backend)
+        n_vox = shading.cube_normal(world_pos, center)
+    else:
+        n_vox = jnp.zeros(world_pos.shape, jnp.float32)
+    normal = jnp.where(vox_hit[..., None], n_vox, n_tri)
+    normal = jnp.where(any_hit[..., None], normal, 0.0)
+    depth = jnp.where(any_hit, t_hit, jnp.inf)
+    return depth, normal, any_hit
+
+
+def render_aov(scene: Scene, camera: Camera = Camera(), *, width=1280,
+               height=720, backend="dda"):
+    """Depth + normal + hit-mask buffers (the BASELINE config-3 output:
+    hit distance and surface normal per pixel, no shading)."""
+    _, _, view_inv, proj_inv = camera.matrices(width, height)
+    return _aov_jit(scene, jnp.asarray(view_inv), jnp.asarray(proj_inv),
+                    width=width, height=height, backend=backend)
