@@ -33,7 +33,7 @@ def build_parser():
                    help=">1 renders an orbit fly-through batch")
     p.add_argument("--mode", default="ray", choices=["ray", "raster"])
     p.add_argument("--backend", default="fast",
-                   choices=["fast", "dda", "brute"])
+                   choices=["fast", "dda", "brute", "octree"])
     p.add_argument("--no-shadows", action="store_true",
                    help="disable shadow rays")
     p.add_argument("--aov", action="store_true",
@@ -140,7 +140,8 @@ def main(argv=None):
                                  else grid.origin),
             "voxel_size": grid.voxel_size,
         }
-    scene = build_scene(models=models, grid=occ_grid, aabbs=aabbs)
+    scene = build_scene(models=models, grid=occ_grid, aabbs=aabbs,
+                        octree=grid if args.encoding == "octree" else None)
 
     light = Light(position=tuple(args.light),
                   intensity=args.light_intensity, type=args.light_type)

@@ -151,6 +151,9 @@ class Octree:
 
     code_hi: Any                    # uint32[N] sorted code upper limbs
     code_lo: Any                    # uint32[N] lower limbs
+    item_x: Any                     # int32[N] decoded cell coords (sorted
+    item_y: Any                     # order) — precomputed so traversal
+    item_z: Any                     # never decodes under jit
     children: Any                   # int32[M, 8], -1 == INVALID
     node_start: Any                 # int32[M]
     node_count: Any                 # int32[M]
@@ -159,6 +162,8 @@ class Octree:
     voxel_size: float = field(metadata=dict(static=True))
     bits_per_axis: int = field(metadata=dict(static=True))
     max_items: int = field(metadata=dict(static=True))
+    origin_key: tuple = field(default=(0.0, 0.0, 0.0),
+                              metadata=dict(static=True))
     set_calls: int = 0
 
     # -- construction ------------------------------------------------------
@@ -179,13 +184,18 @@ class Octree:
         if max_dim == 0 or len(f) == 0:
             return cls(code_hi=jnp.zeros(0, jnp.uint32),
                        code_lo=jnp.zeros(0, jnp.uint32),
+                       item_x=jnp.zeros(0, jnp.int32),
+                       item_y=jnp.zeros(0, jnp.int32),
+                       item_z=jnp.zeros(0, jnp.int32),
                        children=jnp.zeros((0, 8), jnp.int32),
                        node_start=jnp.zeros(0, jnp.int32),
                        node_count=jnp.zeros(0, jnp.int32),
                        root_min=jnp.asarray(bb_min),
                        dims=dims, voxel_size=float(voxel_size),
                        bits_per_axis=0,
-                       max_items=int(max_items_per_leaf), set_calls=0)
+                       max_items=int(max_items_per_leaf),
+                       origin_key=tuple(float(x) for x in bb_min),
+                       set_calls=0)
 
         # ceil(log2(maxDim)) in double precision (octTree.hpp:578-580)
         bits = int(math.ceil(math.log2(float(max_dim))))
@@ -228,9 +238,13 @@ class Octree:
         else:
             codes = np.sort(morton_encode3_np(x, y, z))
             nodes = build_nodes(codes, max_depth, int(max_items_per_leaf))
+        ix, iy, iz = morton_decode3_np(codes)
         return cls(
             code_hi=jnp.asarray((codes >> np.uint64(32)).astype(np.uint32)),
             code_lo=jnp.asarray((codes & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+            item_x=jnp.asarray(ix.astype(np.int32)),
+            item_y=jnp.asarray(iy.astype(np.int32)),
+            item_z=jnp.asarray(iz.astype(np.int32)),
             children=jnp.asarray(
                 np.where(nodes[:, :8] == np.int64(INVALID_INDEX), -1,
                          nodes[:, :8]).astype(np.int32)),
@@ -238,10 +252,18 @@ class Octree:
             node_count=jnp.asarray(nodes[:, 9].astype(np.int32)),
             root_min=jnp.asarray(bb_min),
             dims=dims, voxel_size=float(voxel_size), bits_per_axis=bits,
-            max_items=int(max_items_per_leaf), set_calls=int(calls),
+            max_items=int(max_items_per_leaf),
+            origin_key=tuple(float(x) for x in bb_min),
+            set_calls=int(calls),
         )
 
     # -- queries -----------------------------------------------------------
+    @property
+    def origin(self):
+        """Grid origin (== mesh bb.min; alias so Octree can stand in for
+        the grid encodings in scene assembly)."""
+        return self.root_min
+
     @property
     def n_items(self):
         return int(self.code_hi.shape[0])

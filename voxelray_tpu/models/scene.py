@@ -73,6 +73,7 @@ class Scene:
     occ_flat: Any                   # uint8[X*Y*Z] dense occupancy
     grid_origin: Any                # float32[3]
     accel: Any                      # BrickAccel or None (the "BLAS")
+    octree: Any                     # models.octree.Octree or None
     grid_dims: tuple = field(metadata=dict(static=True))
     grid_voxel_size: float = field(metadata=dict(static=True))
 
@@ -87,7 +88,7 @@ class Scene:
 
 def build_scene(models=None, grid=None, aabbs=None,
                 voxel_material: Material | None = None,
-                transforms=None) -> Scene:
+                transforms=None, octree=None) -> Scene:
     """Assemble a Scene.
 
     models: list of LoadedModel (render-path streams).
@@ -173,7 +174,10 @@ def build_scene(models=None, grid=None, aabbs=None,
     for i, t in enumerate(textures):
         tex_stack[i, : t.shape[0], : t.shape[1]] = t
 
-    # voxel geometry
+    # voxel geometry; an Octree may serve directly as the grid source
+    from .octree import Octree as _Octree
+    if octree is None and isinstance(grid, _Octree):
+        octree = grid
     if grid is not None:
         if isinstance(grid, dict):
             occ = np.asarray(grid["occ"], np.uint8)
@@ -218,7 +222,7 @@ def build_scene(models=None, grid=None, aabbs=None,
         voxel_material=as_j(vox_mat),
         occ_flat=as_j(occ_flat), grid_origin=as_j(np.asarray(g_org,
                                                              np.float32)),
-        accel=accel,
+        accel=accel, octree=octree,
         grid_dims=tuple(int(x) for x in g_dims),
         grid_voxel_size=float(g_vs),
     )

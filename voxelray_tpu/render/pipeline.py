@@ -64,6 +64,10 @@ def _sample_texture(textures, layer, uv):
 
 
 def _trace_voxels(scene: Scene, origins, dirs, t_min, t_max, backend):
+    if backend == "octree" and scene.octree is not None:
+        from ..ops.octree_traverse import trace_octree
+        return trace_octree(origins, dirs, scene.octree,
+                            t_min=t_min, t_max=t_max)
     if backend == "fast" and scene.accel is not None:
         from ..ops.traverse_fast import trace_grid_fast
         return trace_grid_fast(origins, dirs, scene.accel,
@@ -82,7 +86,7 @@ def _trace_voxels(scene: Scene, origins, dirs, t_min, t_max, backend):
 def _voxel_center_of_hit(scene: Scene, hit_id, backend):
     """Cell center for the hit primitive (the (min+max)/2 the voxel CH
     computes, raytrace2.rchit:57-60)."""
-    if backend in ("dda", "fast") and scene.occ_flat.shape[0] > 0:
+    if backend in ("dda", "fast", "octree") and scene.occ_flat.shape[0] > 0:
         nx, ny, _ = scene.grid_dims
         lin = jnp.maximum(hit_id, 0)
         x = lin % nx
@@ -101,7 +105,11 @@ def _any_hit(scene: Scene, origins, dirs, t_min, t_max, backend):
         occluded |= any_hit_triangles_brute(
             origins, dirs, scene.tri_v0, scene.tri_v1, scene.tri_v2,
             t_min=t_min, t_max=t_max)
-    if backend == "fast" and scene.accel is not None:
+    if backend == "octree" and scene.octree is not None:
+        from ..ops.octree_traverse import any_hit_octree
+        occluded |= any_hit_octree(origins, dirs, scene.octree,
+                                   t_min=t_min, t_max=t_max)
+    elif backend == "fast" and scene.accel is not None:
         from ..ops.traverse_fast import any_hit_grid_fast
         occluded |= any_hit_grid_fast(origins, dirs, scene.accel,
                                       t_min=t_min, t_max=t_max)

@@ -50,13 +50,17 @@ def save_grid(path: str, grid) -> None:
     elif kind == "Octree":
         arrays = {"code_hi": np.asarray(grid.code_hi),
                   "code_lo": np.asarray(grid.code_lo),
+                  "item_x": np.asarray(grid.item_x),
+                  "item_y": np.asarray(grid.item_y),
+                  "item_z": np.asarray(grid.item_z),
                   "children": np.asarray(grid.children),
                   "node_start": np.asarray(grid.node_start),
                   "node_count": np.asarray(grid.node_count),
                   "root_min": np.asarray(grid.root_min)}
         meta.update(dims=grid.dims, voxel_size=grid.voxel_size,
                     bits_per_axis=grid.bits_per_axis,
-                    max_items=grid.max_items, set_calls=grid.set_calls)
+                    max_items=grid.max_items,
+                    origin_key=grid.origin_key, set_calls=grid.set_calls)
     np.savez_compressed(path, __meta__=np.asarray([repr(meta)]), **arrays)
 
 
@@ -71,4 +75,6 @@ def load_grid(path: str):
     cls = _KINDS[kind]
     arrays = {k: jnp.asarray(v) for k, v in data.items() if k != "__meta__"}
     meta["dims"] = tuple(meta["dims"])
+    if "origin_key" in meta:
+        meta["origin_key"] = tuple(meta["origin_key"])
     return cls(**arrays, **meta)
