@@ -105,7 +105,9 @@ def main():
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 100.0, 4),
         "voxelize_ms": round(t_build * 1e3, 2),
+        "voxelize_mtris_per_s": round(len(f) / t_build / 1e6, 2),
         "render_ms": round(t_render * 1e3, 2),
+        "occupied_voxels": n_occ,
         "backend": backend,
         "preset": preset,
     }))

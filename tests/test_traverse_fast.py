@@ -37,8 +37,8 @@ def test_accel_structure(setup):
     n_bricks = bx * by * bz
     bits = (words[np.arange(n_bricks) >> 5] >> (np.arange(n_bricks) & 31)) & 1
     assert np.array_equal(bits.astype(bool), pooled.reshape(-1))
-    # fine words reproduce per-brick cell bits
-    assert accel.fine.shape == (n_bricks, 16)
+    # fine words reproduce per-brick cell bits (stored word-major)
+    assert accel.fine.shape == (16, n_bricks)
 
 
 def test_fast_matches_dda_camera_rays(setup):

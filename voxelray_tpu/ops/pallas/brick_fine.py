@@ -160,17 +160,24 @@ def _make_kernel(dims, bdims, origin, voxel_size, bq):
                 jnp.full((bq, LANES), _INF, jnp.float32),
                 jnp.full((bq, LANES), -1, jnp.int32),
                 valid.astype(jnp.int32), jnp.int32(0))
-        if jax.default_backend() == "tpu":
-            # fully unrolled: 25 vector-only steps, no scalar loop control
-            state = init
-            for _ in range(max_steps):
-                state = body(state)
-        else:
-            # interpret mode: early-exit while keeps CPU tests fast
-            def cond(state):
-                return jnp.logical_and(state[6] < max_steps,
-                                       jnp.any(state[5] != 0))
 
+        def cond(state):
+            # one scalar check per unrolled chunk; fully-dead blocks
+            # (sky tiles, already-resolved rays) exit immediately
+            return jnp.logical_and(state[6] < max_steps,
+                                   jnp.any(state[5] != 0))
+
+        if jax.default_backend() == "tpu":
+            unroll = 13  # two chunks cover the 25-step worst case
+
+            def chunk(state):
+                for _ in range(unroll):
+                    state = body(state)
+                return state
+
+            state = jax.lax.while_loop(cond, chunk, init)
+        else:
+            # interpret mode: plain early-exit while keeps CPU tests fast
             state = jax.lax.while_loop(cond, body, init)
         _, _, _, best_t, best_lin, _, _ = state
         t_ref[:] = best_t
@@ -187,7 +194,8 @@ def fine_walk(ox, oy, oz, dx, dy, dz, brick, words, t_min, t_max, *,
               dims, bdims, origin_key, voxel_size, bq=64):
     """Resolve each ray inside its hit brick.
 
-    words: (N, 16) uint32 pre-gathered brick occupancy; brick: (N,) int32
+    words: (16, N) uint32 pre-gathered brick occupancy (word-major so
+    every gather/reshape stays in a compact TPU layout); brick: (N,) int32
     (-1 = no brick).  t_min: (N,) or scalar; t_max: (N,).
     Returns (t (N,) f32 with +inf miss, cell_lin (N,) int32 with -1).
     """
@@ -201,10 +209,9 @@ def fine_walk(ox, oy, oz, dx, dy, dz, brick, words, t_min, t_max, *,
         return x.reshape(n_blocks * bq, LANES)
 
     t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
-    # words: (N,16) -> (16, blocks*bq, 128) so the kernel indexes
-    # words_ref[k] as a (bq,128) tile
-    w = jnp.pad(words, ((0, pad), (0, 0)))
-    w = w.transpose(1, 0).reshape(16, n_blocks * bq, LANES)
+    # words: (16, N) -> (16, blocks*bq, 128); no transpose needed
+    w = jnp.pad(words, ((0, 0), (0, pad)))
+    w = w.reshape(16, n_blocks * bq, LANES)
 
     kernel = _make_kernel(dims, bdims, origin_key, voxel_size, bq)
     grid_spec = pl.GridSpec(

@@ -40,9 +40,14 @@ _INF = np.float32(np.inf)  # numpy scalar: stays a literal inside kernels
 
 
 def hoist_rows(table_ref, bq):
-    """Pre-broadcast table rows when they fit comfortably in vregs."""
+    """Pre-broadcast table rows out of the walk loop.
+
+    In-loop (1,128)->(BQ,128) broadcasts are a suspected slow lowering;
+    hoisting is bounded to 8 rows (larger tables keep in-loop broadcast
+    and should move to a words-as-input layout instead).
+    """
     rows = table_ref.shape[0]
-    if rows * (bq // 8 or 1) > 16:
+    if rows > 8:
         return None
     return [jnp.broadcast_to(table_ref[r:r + 1, :], (bq, LANES))
             for r in range(rows)]
@@ -66,7 +71,7 @@ def mux_lookup(table_ref, word_idx, bq, hoisted=None):
     return out
 
 
-def _make_kernel(bdims, origin, brick_world, max_steps, bq):
+def _make_kernel(bdims, origin, brick_world, max_steps, bq, k_hits):
     bx, by, bz = bdims
     ogx, ogy, ogz = (np.float32(origin[0]), np.float32(origin[1]),
                      np.float32(origin[2]))
@@ -104,15 +109,21 @@ def _make_kernel(bdims, origin, brick_world, max_steps, bq):
         def body(state):
             # active carried as int32: Mosaic cannot carry i1 vectors
             # through scf.while
-            cx, cy, cz, active_i, hit, step = state
+            cx, cy, cz, active_i, hits, nhit, step = state
             active = active_i != 0
             lin = cx + bx * (cy + by * cz)
             word = mux_lookup(table_ref, lin >> 5, bq, rows_bc)
             occ = ((word >> (lin & 31).astype(jnp.uint32)) & 1) > 0
             hit_now = active & occ
-            hit = jnp.where(hit_now, lin, hit)
-            # active lanes step; a lane that just hit steps once more so
-            # its stored cell is the resume position past the hit brick
+            # record into the first free hit slot (branchless)
+            hits = tuple(
+                jnp.where(hit_now & (nhit == s), lin, hits[s])
+                for s in range(k_hits)
+            )
+            nhit = nhit + hit_now.astype(jnp.int32)
+            full = nhit >= k_hits
+            # active lanes step; the lane that just filled its last slot
+            # steps once more so its stored cell is the resume position
             tx, ty, tz = next_t(cx, cy, cz)
             tmin = jnp.minimum(tx, jnp.minimum(ty, tz))
             stepx = active & (tx == tmin)
@@ -123,8 +134,9 @@ def _make_kernel(bdims, origin, brick_world, max_steps, bq):
             cz = cz + jnp.where(stepz, sz, 0)
             inb = ((cx >= 0) & (cx < bx) & (cy >= 0) & (cy < by)
                    & (cz >= 0) & (cz < bz))
-            active = active & ~hit_now & inb & (tmin <= tmax)
-            return (cx, cy, cz, active.astype(jnp.int32), hit, step + 1)
+            active = active & ~full & inb & (tmin <= tmax)
+            return (cx, cy, cz, active.astype(jnp.int32), hits, nhit,
+                    step + 1)
 
         # UNROLL vector-only steps per scalar loop check on TPU: the while
         # cond's any()-reduce + branch costs ~10-20us of scalar latency per
@@ -138,25 +150,27 @@ def _make_kernel(bdims, origin, brick_world, max_steps, bq):
             return state
 
         def cond(state):
-            _, _, _, active_i, _, step = state
-            return jnp.logical_and(step < max_steps,
-                                   jnp.any(active_i != 0))
+            return jnp.logical_and(state[6] < max_steps,
+                                   jnp.any(state[3] != 0))
 
         init = (cx_ref[:], cy_ref[:], cz_ref[:],
                 (act_ref[:] != 0).astype(jnp.int32),
-                jnp.full((bq, LANES), -1, jnp.int32), jnp.int32(0))
-        cx, cy, cz, active_i, hit, _ = jax.lax.while_loop(
+                tuple(jnp.full((bq, LANES), -1, jnp.int32)
+                      for _ in range(k_hits)),
+                jnp.zeros((bq, LANES), jnp.int32), jnp.int32(0))
+        cx, cy, cz, active_i, hits, nhit, _ = jax.lax.while_loop(
             cond, body_unrolled, init)
-        hit_ref[:] = hit
+        for s in range(k_hits):
+            hit_ref[s] = hits[s]
         ocx_ref[:] = cx
         ocy_ref[:] = cy
         ocz_ref[:] = cz
         # a lane can continue walking next round iff it is still in bounds
-        # with budget left: exactly the lanes that recorded a hit and then
-        # stepped to a valid cell, or hit the step cap
+        # with budget left: lanes that filled their slots and stepped to a
+        # valid cell, or (defensively) hit the step cap while active
         inb = ((cx >= 0) & (cx < bx) & (cy >= 0) & (cy < by)
                & (cz >= 0) & (cz < bz))
-        ocont_ref[:] = (inb & ((active_i != 0) | (hit >= 0))) \
+        ocont_ref[:] = (inb & ((active_i != 0) | (nhit >= k_hits))) \
             .astype(jnp.int32)
 
     return kernel
@@ -164,19 +178,19 @@ def _make_kernel(bdims, origin, brick_world, max_steps, bq):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bdims", "origin_key", "brick_world", "bq"),
+    static_argnames=("bdims", "origin_key", "brick_world", "bq", "k_hits"),
 )
 def coarse_walk(ox, oy, oz, dx, dy, dz, cx, cy, cz, active, tmax, table, *,
-                bdims, origin_key, brick_world, bq=64):
-    """Walk all rays to their next occupied brick.
+                bdims, origin_key, brick_world, bq=64, k_hits=1):
+    """Walk all rays to their next k_hits occupied bricks.
 
     All ray/state arrays are (N,) and get padded/reshaped to (blocks, BQ,
     128) internally.  `table` is the (ROWS, 128) uint32 brick bitmask.
     origin_key: the grid origin as a hashable (x, y, z) float tuple
     (static — baked into the kernel).
 
-    Returns (hit_brick_lin int32 (N,), next_cx, next_cy, next_cz,
-    can_continue int32).
+    Returns (hit_brick_lin int32 (k_hits, N) [-1 = none, in ray order],
+    next_cx, next_cy, next_cz, can_continue int32).
     """
     n = ox.shape[0]
     per_block = bq * LANES
@@ -189,12 +203,13 @@ def coarse_walk(ox, oy, oz, dx, dy, dz, cx, cy, cz, active, tmax, table, *,
 
     bx, by, bz = bdims
     max_steps = bx + by + bz + 3
-    kernel = _make_kernel(bdims, origin_key, brick_world, max_steps, bq)
+    kernel = _make_kernel(bdims, origin_key, brick_world, max_steps, bq,
+                          k_hits)
 
     out_shapes = [
-        jax.ShapeDtypeStruct((n_blocks * bq, LANES), jnp.int32)
-        for _ in range(4)
-    ] + [jax.ShapeDtypeStruct((n_blocks * bq, LANES), jnp.int32)]
+        jax.ShapeDtypeStruct((k_hits, n_blocks * bq, LANES), jnp.int32),
+    ] + [jax.ShapeDtypeStruct((n_blocks * bq, LANES), jnp.int32)
+         for _ in range(4)]
 
     grid_spec = pl.GridSpec(
         grid=(n_blocks,),
@@ -202,8 +217,10 @@ def coarse_walk(ox, oy, oz, dx, dy, dz, cx, cy, cz, active, tmax, table, *,
                                memory_space=pltpu.VMEM)] * 11
         + [pl.BlockSpec(table.shape, lambda i: (0, 0),
                         memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((bq, LANES), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)] * 5,
+        out_specs=[pl.BlockSpec((k_hits, bq, LANES), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((bq, LANES), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)] * 4,
     )
 
     hit, ncx, ncy, ncz, cont = pl.pallas_call(
@@ -217,4 +234,5 @@ def coarse_walk(ox, oy, oz, dx, dy, dz, cx, cy, cz, active, tmax, table, *,
       table)
 
     unpad = lambda x: x.reshape(-1)[:n]
-    return (unpad(hit), unpad(ncx), unpad(ncy), unpad(ncz), unpad(cont))
+    hitk = hit.reshape(k_hits, -1)[:, :n]
+    return (hitk, unpad(ncx), unpad(ncy), unpad(ncz), unpad(cont))

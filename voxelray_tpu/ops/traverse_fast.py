@@ -40,7 +40,10 @@ BRICK = 8
 @dataclass(frozen=True)
 class BrickAccel:
     coarse: Any                     # uint32[ROWS, 128] brick bitmask
-    fine: Any                       # uint32[NB, 16] per-brick cell bits
+    fine: Any                       # uint32[16, NB] per-brick cell bits
+                                    # (transposed: row k = word k of every
+                                    # brick — compact TPU layout for the
+                                    # per-column gathers in the fine stage)
     origin: Any                     # float32[3]
     dims: tuple = field(metadata=dict(static=True))     # voxel dims X,Y,Z
     bdims: tuple = field(metadata=dict(static=True))    # brick dims
@@ -70,11 +73,12 @@ def build_accel(occ, origin, voxel_size) -> BrickAccel:
     words = (flat.reshape(-1, 32) << shifts).sum(axis=1, dtype=jnp.uint32)
     coarse = words.reshape(rows, LANES)
 
-    # fine words: per brick, 512 cell bits packed x-fastest into 16 words
+    # fine words: per brick, 512 cell bits packed x-fastest into 16 words,
+    # stored transposed (16, NB)
     cell_bits = blocks.reshape(n_bricks, BRICK * BRICK * BRICK) \
         .astype(jnp.uint32)
     fine = (cell_bits.reshape(n_bricks, 16, 32) << shifts).sum(
-        axis=-1, dtype=jnp.uint32)
+        axis=-1, dtype=jnp.uint32).transpose(1, 0)
 
     origin = np.asarray(origin, np.float32)
     return BrickAccel(
@@ -114,6 +118,8 @@ def _fine_resolve(o, d, brick_lin, accel, t_min, t_max, chunk=32768):
     """
     n = o.shape[0]
     if n > chunk:
+        # python-loop chunking (straight-line under jit): gathers inside
+        # lax.map/scan bodies are ~40x slower on this TPU
         n_chunks = -(-n // chunk)
         pad = n_chunks * chunk - n
 
@@ -121,11 +127,14 @@ def _fine_resolve(o, d, brick_lin, accel, t_min, t_max, chunk=32768):
             cfg = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
             return jnp.pad(x, cfg).reshape((n_chunks, chunk) + x.shape[1:])
 
-        t, lin = jax.lax.map(
-            lambda args: _fine_resolve_block(*args, accel, t_min),
-            (prep(o), prep(d), prep(brick_lin), prep(t_max)),
-        )
-        return t.reshape(-1)[:n], lin.reshape(-1)[:n]
+        po, pd, pb, pt = prep(o), prep(d), prep(brick_lin), prep(t_max)
+        ts, lins = [], []
+        for c in range(n_chunks):
+            t, lin = _fine_resolve_block(po[c], pd[c], pb[c], pt[c],
+                                         accel, t_min)
+            ts.append(t)
+            lins.append(lin)
+        return (jnp.concatenate(ts)[:n], jnp.concatenate(lins)[:n])
     return _fine_resolve_block(o, d, brick_lin, t_max, accel, t_min)
 
 
@@ -138,7 +147,8 @@ def _fine_resolve_block(o, d, brick_lin, t_max, accel, t_min):
 
     has = brick_lin >= 0
     bl = jnp.maximum(brick_lin, 0)
-    words = accel.fine[bl]                       # (N, 16) slice gather
+    # one gather along axis 1 -> (16, N), then word-major use
+    words = jnp.take(accel.fine, bl, axis=1).transpose(1, 0)  # (N, 16)
     shifts = jnp.arange(32, dtype=jnp.uint32)
     bits = ((words[:, :, None] >> shifts) & 1).astype(bool)  # (N, 16, 32)
     bits = bits.reshape(-1, 512)
@@ -196,45 +206,98 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, *, accel_static, rounds,
     bdims, origin_key, vs, accel_static_dims = accel_static
     bw = float(vs * BRICK)
 
-    def round_body(state):
-        cx, cy, cz, active, best_t, best_lin, r = state
-        hit, cx, cy, cz, cont = coarse_walk(
-            o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-            cx, cy, cz, active.astype(jnp.int32), t_max, accel.coarse,
+    # Rounds as a STATIC python loop (unrolled straight-line code under
+    # jit).  Measured hard lesson: HBM gathers inside lax.while/scan
+    # bodies run ~40x slower on this TPU than the same gathers in
+    # straight-line code, so a data-dependent early-exit rounds loop is a
+    # net catastrophe.
+
+    def one_round(ox, oy, oz, dx, dy, dz, cx, cy, cz, act, tmx,
+                  k_hits=4):
+        hits, ncx, ncy, ncz, cont = coarse_walk(
+            ox, oy, oz, dx, dy, dz, cx, cy, cz,
+            act.astype(jnp.int32), tmx, accel.coarse,
             bdims=bdims, origin_key=origin_key, brick_world=bw,
-            bq=chunk)
-        if fine == "walk":
-            from .pallas.brick_fine import fine_walk
-            bl = jnp.maximum(hit, 0)
-            flat_idx = bl[:, None] * 16 + jnp.arange(16, dtype=jnp.int32)
-            words = accel.fine.reshape(-1)[flat_idx]
-            t, lin = fine_walk(
+            bq=chunk, k_hits=k_hits)
+        nloc = ox.shape[0]
+        t = jnp.full((nloc,), jnp.inf, jnp.float32)
+        lin = jnp.full((nloc,), -1, jnp.int32)
+        # resolve the k candidate bricks in ray order; a ray goes dead in
+        # the fine kernel as soon as an earlier slot resolved it
+        for s in range(k_hits):
+            hit_s = jnp.where(jnp.isfinite(t), -1, hits[s])
+            if fine == "walk":
+                from .pallas.brick_fine import fine_walk
+                bl = jnp.maximum(hit_s, 0)
+                # one gather along axis 1 of the (16, NB) table -> (16, N)
+                words = jnp.take(accel.fine, bl, axis=1)
+                t_s, lin_s = fine_walk(
+                    ox, oy, oz, dx, dy, dz, hit_s, words, t_min, tmx,
+                    dims=accel_static_dims, bdims=bdims,
+                    origin_key=origin_key, voxel_size=vs, bq=chunk)
+            else:
+                t_s, lin_s = _fine_resolve(
+                    jnp.stack([ox, oy, oz], axis=-1),
+                    jnp.stack([dx, dy, dz], axis=-1), hit_s, accel,
+                    t_min, tmx)
+            got = jnp.isfinite(t_s) & ~jnp.isfinite(t)
+            t = jnp.where(got, t_s, t)
+            lin = jnp.where(got, lin_s, lin)
+        return t, lin, ncx, ncy, ncz, cont
+
+    # round 1: all rays
+    t, lin, cx, cy, cz, cont = one_round(
+        o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+        cx, cy, cz, active, t_max)
+    resolved = jnp.isfinite(t)
+    best_t = jnp.where(resolved, t, best_t)
+    best_lin = jnp.where(resolved, lin, best_lin)
+    active = active & ~resolved & (cont > 0)
+
+    # rounds 2+: compact the surviving rays into progressively smaller
+    # buffers (cumsum compaction; overflow rays simply wait a round)
+    min_cap = chunk * 128
+    caps = ([max(min_cap, -(-n // 4))] * 3
+            + [max(min_cap, -(-n // 16))] * max(0, rounds - 4))
+    if caps and caps[0] < n:
+        for cap in caps[: rounds - 1]:
+            pos = jnp.cumsum(active.astype(jnp.int32)) - 1
+            slot = jnp.where(active & (pos < cap), pos, cap)
+            sel = jnp.full((cap,), n, jnp.int32).at[slot].set(
+                jnp.arange(n, dtype=jnp.int32), mode="drop")
+            live = sel < n
+            sel_c = jnp.minimum(sel, n - 1)
+            t, lin, scx, scy, scz, cont_s = one_round(
+                o[sel_c, 0], o[sel_c, 1], o[sel_c, 2],
+                d[sel_c, 0], d[sel_c, 1], d[sel_c, 2],
+                cx[sel_c], cy[sel_c], cz[sel_c],
+                live & active[sel_c], t_max[sel_c])
+            # writes go through `sel` (empty slots hold the OOB index n and
+            # get dropped) — clamped duplicates would race on ray n-1
+            got = jnp.isfinite(t) & live
+            best_t = best_t.at[sel].set(
+                jnp.where(got, t, best_t[sel_c]), mode="drop")
+            best_lin = best_lin.at[sel].set(
+                jnp.where(got, lin, best_lin[sel_c]), mode="drop")
+            cx = cx.at[sel].set(scx, mode="drop")
+            cy = cy.at[sel].set(scy, mode="drop")
+            cz = cz.at[sel].set(scz, mode="drop")
+            new_act = active[sel_c] & ~got & (cont_s > 0) & live
+            active = active.at[sel].set(new_act, mode="drop")
+    else:
+        for _ in range(rounds - 1):
+            t, lin, cx, cy, cz, cont = one_round(
                 o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-                hit, words, t_min, t_max,
-                dims=accel_static_dims, bdims=bdims,
-                origin_key=origin_key, voxel_size=vs, bq=chunk)
-        else:
-            t, lin = _fine_resolve(o, d, hit, accel, t_min, t_max)
-        resolved = jnp.isfinite(t) & ~jnp.isfinite(best_t)
-        best_t = jnp.where(resolved, t, best_t)
-        best_lin = jnp.where(resolved, lin, best_lin)
-        # continue rays that had a brick but no accepted voxel and still
-        # have walking budget
-        active = active & ~jnp.isfinite(best_t) & (cont > 0)
-        return cx, cy, cz, active, best_t, best_lin, r + 1
-
-    def round_cond(state):
-        _, _, _, active, _, _, r = state
-        return jnp.logical_and(r < rounds, jnp.any(active))
-
-    _, _, _, _, best_t, best_lin, _ = jax.lax.while_loop(
-        round_cond, round_body,
-        (cx, cy, cz, active, best_t, best_lin, jnp.int32(0)))
+                cx, cy, cz, active, t_max)
+            resolved = jnp.isfinite(t) & active
+            best_t = jnp.where(resolved, t, best_t)
+            best_lin = jnp.where(resolved, lin, best_lin)
+            active = active & ~resolved & (cont > 0)
     return best_t, best_lin
 
 
 def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
-                    t_max=TMAX, rounds=16, chunk=64, fine="walk"):
+                    t_max=TMAX, rounds=6, chunk=64, fine="walk"):
     """(t, cell_lin) nearest voxel hit; same contract as trace_grid_dda."""
     batch_shape = origins.shape[:-1]
     o = origins.reshape(-1, 3)
@@ -250,7 +313,7 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
 
 
 def any_hit_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
-                      t_max=TMAX, rounds=16, chunk=64, fine="walk"):
+                      t_max=TMAX, rounds=6, chunk=64, fine="walk"):
     t, _ = trace_grid_fast(origins, dirs, accel, t_min=t_min, t_max=t_max,
                            rounds=rounds, chunk=chunk, fine=fine)
     return jnp.isfinite(t)
