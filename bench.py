@@ -63,7 +63,8 @@ def main():
     dims = grid_dims(bb_min, bb_max, vs)
     log(f"mesh: {len(f)} tris, dims {dims}, voxel {vs:.5f}")
 
-    # ---- voxelize (timed) ---------------------------------------------
+    # ---- voxelize (timed; single-window jit path — the bucketed host
+    # wrapper pays per-call host work, wrong for per-frame re-voxelize) ---
     win = required_window_shape(v, f, bb_min, vs, dims)
     win = tuple(1 << int(np.ceil(np.log2(max(1, w)))) for w in win)
     tri = jnp.asarray(v[f])
@@ -72,7 +73,7 @@ def main():
     def build():
         occ, calls = voxelize_dense(
             tri, org, dims=dims, voxel_size_static=float(vs), window=win,
-            chunk=4096)
+            chunk=16384)
         return occ
 
     t_build, occ = time_fn(build, iters=max(1, runs // 2), warmup=1)

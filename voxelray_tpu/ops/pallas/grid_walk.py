@@ -47,7 +47,7 @@ def hoist_rows(table_ref, bq):
     and should move to a words-as-input layout instead).
     """
     rows = table_ref.shape[0]
-    if rows > 8:
+    if rows * max(1, bq // 8) > 256:
         return None
     return [jnp.broadcast_to(table_ref[r:r + 1, :], (bq, LANES))
             for r in range(rows)]

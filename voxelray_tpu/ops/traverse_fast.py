@@ -304,6 +304,12 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
     d = dirs.reshape(-1, 3)
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
                                batch_shape).reshape(-1)
+    # big coarse tables need small walk blocks so the hoisted mux rows
+    # stay in vregs (rows * bq/8 vregs); 64-row tables (512^3 grids) run
+    # at bq=32
+    rows = accel.coarse.shape[0]
+    if rows > 8:
+        chunk = min(chunk, max(8, 2048 // rows // 8 * 8))
     t, lin = _trace_fast_impl(
         o, d, accel, jnp.float32(t_min), t_max_b,
         accel_static=(accel.bdims, accel.origin_key, accel.voxel_size,

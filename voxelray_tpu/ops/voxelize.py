@@ -134,6 +134,8 @@ def voxelize_dense(tri_verts, origin, *, dims, voxel_size_static, window,
     tri_verts = jnp.pad(tri_verts, ((0, pad), (0, 0), (0, 0)),
                         constant_values=np.inf)
     tri_chunks = tri_verts.reshape(n_chunks, chunk, 3, 3)
+    # NOTE: chunks iterate as a STATIC python loop below — scatters inside
+    # lax.scan bodies run ~40x slower on this TPU than straight-line code.
 
     # static unravel of the window box, x fastest (the reference's
     # z-outer / y / x-inner loop order)
@@ -178,10 +180,13 @@ def voxelize_dense(tri_verts, origin, *, dims, voxel_size_static, window,
             centers, half, v0[:, None, :], v1[:, None, :], v2[:, None, :]
         )
         lin = cx + nx * (cy + ny * cz)  # (chunk, capacity)
-        lin = jnp.where(hit, lin, 0)
-        val = hit.astype(jnp.uint8)
+        # misses write into the trash slot at the end of the buffer; all
+        # real writes are the constant 1, so `set` is deterministic and
+        # cheaper than `max`
+        lin = jnp.where(hit, lin, n_cells)
 
-        occ_flat = occ_flat.at[lin.reshape(-1)].max(val.reshape(-1))
+        occ_flat = occ_flat.at[lin.reshape(-1)].set(
+            jnp.uint8(1), mode="promise_in_bounds")
         calls = calls + hit.sum(dtype=jnp.int32)
         if with_hit_mask:
             # serial rank within the triangle's true window:
@@ -191,14 +196,20 @@ def voxelize_dense(tri_verts, origin, *, dims, voxel_size_static, window,
             return (occ_flat, calls), (hit, lin, rank)
         return (occ_flat, calls), None
 
-    init = (jnp.zeros((max(n_cells, 1),), dtype=jnp.uint8),
-            jnp.int32(0))
-    (occ_flat, calls), extras = jax.lax.scan(body, init, tri_chunks)
+    # one extra trash slot absorbs the miss writes
+    carry = (jnp.zeros((max(n_cells, 1) + 1,), dtype=jnp.uint8),
+             jnp.int32(0))
+    extras_list = []
+    for c in range(n_chunks):
+        carry, ex = body(carry, tri_chunks[c])
+        if with_hit_mask:
+            extras_list.append(ex)
+    occ_flat, calls = carry
     occ = occ_flat[:n_cells].reshape(nz, ny, nx)
     if with_hit_mask:
-        hit = extras[0].reshape(f_padded, capacity)[:f_total]
-        lin = extras[1].reshape(f_padded, capacity)[:f_total]
-        rank = extras[2].reshape(f_padded, capacity)[:f_total]
+        hit = jnp.concatenate([e[0] for e in extras_list])[:f_total]
+        lin = jnp.concatenate([e[1] for e in extras_list])[:f_total]
+        rank = jnp.concatenate([e[2] for e in extras_list])[:f_total]
         return occ, calls, hit, lin, rank
     return occ, calls
 
