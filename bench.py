@@ -65,8 +65,9 @@ def main():
 
     # ---- voxelize (timed; single-window jit path — the bucketed host
     # wrapper pays per-call host work, wrong for per-frame re-voxelize) ---
+    # exact per-axis window (pow2 rounding would inflate the scatter
+    # slot count ~3x; per-mesh recompiles are fine here)
     win = required_window_shape(v, f, bb_min, vs, dims)
-    win = tuple(1 << int(np.ceil(np.log2(max(1, w)))) for w in win)
     tri = jnp.asarray(v[f])
     org = jnp.asarray(bb_min)
 

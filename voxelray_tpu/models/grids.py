@@ -231,7 +231,6 @@ class GridVec:
                        voxel_size=float(voxel_size), set_calls=0)
 
         win = required_window_shape(v, f, bb_min, voxel_size, dims)
-        win = tuple(1 << max(0, int(np.ceil(np.log2(w)))) for w in win)
         cap = win[0] * win[1] * win[2]
         occ, calls, hit, lin, _rank = voxelize_dense(
             jnp.asarray(v[f]), jnp.asarray(bb_min), dims=dims,

@@ -207,7 +207,6 @@ class Octree:
         max_depth = bits
 
         win = required_window_shape(v, f, bb_min, voxel_size, dims)
-        win = tuple(1 << max(0, int(np.ceil(np.log2(w)))) for w in win)
         cap = win[0] * win[1] * win[2]
         budget = (1 << 22) if jax.default_backend() != "cpu" else (1 << 14)
         _occ, calls, hit, lin, _rank = voxelize_dense(
