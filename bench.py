@@ -42,7 +42,7 @@ def main():
 
     preset = os.environ.get("BENCH_PRESET", "full")
     runs = int(os.environ.get("BENCH_RUNS", "5"))
-    backend = os.environ.get("BENCH_BACKEND", "dda")
+    backend = os.environ.get("BENCH_BACKEND", "fast")
 
     log(f"backend={jax.default_backend()} devices={jax.devices()} "
         f"preset={preset}")
