@@ -10,7 +10,7 @@ Detail timings go to stderr.
 Env knobs:
   BENCH_PRESET=full|mid|small   scene scale (default full)
   BENCH_RUNS=N                  timed repetitions (default 5)
-  BENCH_BACKEND=dda|brute       traversal backend (default dda)
+  BENCH_BACKEND=fast|dda|brute  traversal backend (default fast)
 """
 import json
 import os

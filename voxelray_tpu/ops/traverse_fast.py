@@ -3,19 +3,21 @@
 Pipeline per ray batch (trace_grid_fast):
 
   1. init: clip rays to the grid bounds, seed the brick-level DDA state
-  2. rounds (static count): Pallas coarse_walk finds each ray's next
-     occupied 8^3 brick (VMEM mux-gather DDA, ~3.5 G lookups/s), then a
-     dense XLA "fine resolve" expands the brick's 512 bits (one 16-word
-     slice gather per ray — the only HBM gather in the pipeline) and slab-
-     tests every cell with the reference float expressions
-     (raytrace.rint:46-56 + report/interval rules), keeping the min t.
-     Unresolved rays resume the walk from the saved state.
+  2. rounds (static python loop under jit): Pallas coarse_walk finds each
+     ray's next K=4 occupied 8^3 bricks (VMEM mux-gather DDA), then the
+     Pallas in-brick DDA (brick_fine.fine_walk) resolves each candidate
+     brick in ray order using the reference float expressions
+     (raytrace.rint:46-56 + report/interval rules).  Straggler rays are
+     cumsum-compacted into n/4 then n/16 buffers for later rounds.  A
+     dense 512-cell resolve (fine="dense") remains as the semantic
+     reference implementation.
   3. output (t, cell_lin) — the same contract (and bit-parity class) as
      ops.traverse.trace_grid_dda.
 
 The accel structure (BrickAccel) is precomputed once per grid: pad dims to
 multiples of 8, brick-occupancy words in the (ROWS, 128) layout the kernel
-muxes over, and per-brick packed fine words (NB, 16).
+muxes over, and per-brick packed fine words stored word-major (16, NB) so
+the fine-stage gather is one compact take(axis=1).
 """
 from __future__ import annotations
 

@@ -11,12 +11,14 @@ XLA computation:
     dx < wx, dy < wy, dz < wz against the triangle's true clamped window
     (static divisors keep XLA's integer lowering cheap on every backend),
   * the 13-axis SAT runs vectorized over (triangles x cells),
-  * hits scatter-max into a dense occupancy volume — the commutative,
-    deterministic equivalent of the thread-bucket merge at
-    VoxelBuilder.hpp:533-537.
+  * hits scatter (constant value 1, promise_in_bounds, misses routed to
+    a trash slot) into a dense occupancy volume — the deterministic
+    equivalent of the thread-bucket merge at VoxelBuilder.hpp:533-537.
 
-The computation is chunked over triangles with lax.scan to bound peak
-memory; the window shape is a static argument so the kernel is jittable
+The computation is chunked over triangles with a static python loop
+(straight-line under jit — gathers/scatters inside lax.scan bodies are
+~40x slower on this TPU) to bound peak memory; the window shape is a
+static argument so the kernel is jittable
 and reusable across frames (per-frame re-voxelization of a deforming mesh
 never leaves the device).  The host wrapper buckets triangles by per-axis
 window extent so a few huge triangles don't drag every small one through
