@@ -1,0 +1,97 @@
+"""Auxiliary subsystems: checkpointing, tracing, CLI, camera paths."""
+import json
+import numpy as np
+import pytest
+
+from voxelray_tpu.io import meshes
+from voxelray_tpu.models.grids import build_grid
+from voxelray_tpu.render.camera import Camera, orbit_path
+from voxelray_tpu.utils.checkpoint import load_grid, save_grid
+from voxelray_tpu.utils.timing import Benchmarker
+from voxelray_tpu.utils.trace import FrameStats, annotate, phase
+
+
+@pytest.mark.parametrize("enc", ["bool", "aabbstruct", "vec", "octree"])
+def test_checkpoint_roundtrip(enc, tmp_path):
+    v, f = meshes.icosphere(1)
+    g = build_grid(enc, v, f, 0.3)
+    p = tmp_path / f"{enc}.npz"
+    save_grid(str(p), g)
+    g2 = load_grid(str(p))
+    assert type(g2) is type(g)
+    assert g2.dims == g.dims
+    assert g2.set_calls == g.set_calls
+    assert np.array_equal(np.asarray(g2.get_aabbs()),
+                          np.asarray(g.get_aabbs()))
+
+
+def test_checkpoint_rejects_garbage(tmp_path):
+    p = tmp_path / "bad.npz"
+    p.write_bytes(b"not an npz")
+    with pytest.raises(Exception):
+        load_grid(str(p))
+
+
+def test_phase_timer_logs(caplog):
+    import jax.numpy as jnp
+    with phase("unit-test-phase") as h:
+        h["x"] = jnp.ones(8) * 2
+    assert h["seconds"] >= 0
+
+
+def test_annotate_context():
+    with annotate("region"):
+        pass
+
+
+def test_frame_stats():
+    fs = FrameStats()
+    fs.tick()
+    fs.tick()
+    fs.tick()
+    assert fs.ms_per_frame >= 0
+    assert "ms/frame" in fs.summary()
+
+
+def test_benchmarker_render_metric():
+    import jax.numpy as jnp
+    b = Benchmarker(runs=2, warmup=0)
+    res = b.measure_render(lambda: jnp.ones((8, 8, 4)), 8, 8)
+    assert res.render_ms >= 0
+    assert res.mrays_per_s > 0
+
+
+def test_orbit_path_closes():
+    cams = orbit_path(8, center=(0, 1, 0), radius=5.0)
+    assert len(cams) == 8
+    eyes = np.asarray([c.eye for c in cams])
+    # all on the circle of radius 5 around the center (xz-plane)
+    r = np.hypot(eyes[:, 0] - 0, eyes[:, 2] - 0)
+    assert np.allclose(r, 5.0, atol=1e-5)
+    assert all(c.center == (0, 1, 0) for c in cams)
+
+
+def test_cli_end_to_end(tmp_path, capsys):
+    from voxelray_tpu.cli import main
+    out = tmp_path / "img.npy"
+    rc = main(["sphere", "0.3", "--width", "48", "--height", "27",
+               "--no-plane", "--backend", "dda", "--out", str(out)])
+    assert rc == 0
+    img = np.load(str(out))
+    assert img.shape == (27, 48, 4)
+    text = capsys.readouterr().out
+    assert "Grid dimensions:" in text
+    assert "Voxel build took" in text
+
+
+def test_cli_octree_aov(tmp_path):
+    from voxelray_tpu.cli import main
+    out = tmp_path / "aov.npy"
+    rc = main(["sphere", "0.3", "--width", "48", "--height", "27",
+               "--no-plane", "--encoding", "octree", "--backend", "octree",
+               "--aov", "--out", str(out)])
+    assert rc == 0
+    aov = np.load(str(out))
+    assert aov.shape == (27, 48, 4)  # depth + normal
+    finite = np.isfinite(aov[..., 0])
+    assert finite.any()
