@@ -186,6 +186,9 @@ def render_rays(scene: Scene, origins, dirs, light_position,
     # ---- shadow ray ----------------------------------------------------
     facing = (normal * l_vec).sum(-1) > 0.0
     if shadows:
+        # NOTE (measured): deadening unneeded shadow rays via t_max = -1
+        # consistently REGRESSED the mid bench by ~23% — do not "optimize"
+        # this without re-measuring
         shadowed = _any_hit(scene, world_pos, l_vec, TMIN, light_dist,
                             backend)
         shadowed = jnp.where(facing, shadowed, True)  # traced when facing
