@@ -24,11 +24,10 @@ assert jax.default_backend() == "cpu"
 
 from voxelray_tpu.utils.cache import enable_compile_cache  # noqa: E402
 
+# Persistent compilation cache (XLA:CPU compile times for scatter-heavy
+# kernels are high-variance on this box): dir is keyed on host CPU
+# identity inside enable_compile_cache — never share entries across
+# machines (the remote-AOT poisoning hazard, utils/cache.py docstring).
 enable_compile_cache()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-# Persistent compilation cache: XLA:CPU compile times for scatter-heavy
-# kernels are high-variance on this box; cache makes re-runs cheap.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_voxelray")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")

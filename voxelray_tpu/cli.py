@@ -75,6 +75,14 @@ def load_mesh_arg(name):
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    # the axon TPU plugin overrides the JAX_PLATFORMS env var at
+    # registration; honor an explicit cpu request via jax.config, which
+    # the plugin cannot override (same guard as __graft_entry__)
+    import os
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
     from .utils.cache import enable_compile_cache
     enable_compile_cache()
 
