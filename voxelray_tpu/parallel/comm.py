@@ -90,10 +90,13 @@ def voxelize_sharded(tri_verts, origin, mesh: Mesh, *, dims,
 def render_sharded(scene, view_inv, proj_inv, mesh: Mesh, *, width, height,
                    light=None, clear_color=(1.0, 1.0, 1.0, 1.0),
                    backend="dda"):
-    """Row-sharded render: each device traces height/n rows.
+    """Row-sharded render: each device traces ceil(height/n) rows.
 
-    Returns the full (H, W, 4) framebuffer (sharded over rows on the
-    mesh; convert with np.asarray to gather to host).
+    Any (height, n_devices) combination works: the row axis is padded to
+    a multiple of n (padding rows trace duplicate last-row rays — their
+    output is trimmed before returning) and the result is the exact
+    (H, W, 4) framebuffer (sharded over rows on the mesh; convert with
+    np.asarray to gather to host).
     """
     from ..models.scene import Light
     from ..ops.intersect import make_camera_rays
@@ -103,8 +106,8 @@ def render_sharded(scene, view_inv, proj_inv, mesh: Mesh, *, width, height,
     light = light or Light()
     axis = mesh.axis_names[0]
     n = mesh.devices.size
-    assert height % n == 0, (
-        f"height {height} must divide across {n} devices")
+    rows_per = -(-height // n)
+    pad_rows = rows_per * n - height
 
     lp = jnp.asarray(light.position, jnp.float32)
     li = jnp.float32(light.intensity)
@@ -119,13 +122,22 @@ def render_sharded(scene, view_inv, proj_inv, mesh: Mesh, *, width, height,
         check_vma=False,
     )
     def _render(scene_rep, vi, pi):
-        row0 = jax.lax.axis_index(axis) * (height // n)
+        row0 = jax.lax.axis_index(axis) * rows_per
         origins, dirs = make_camera_rays(width, height, vi, pi)
-        o = jax.lax.dynamic_slice_in_dim(origins, row0, height // n, axis=0)
-        d = jax.lax.dynamic_slice_in_dim(dirs, row0, height // n, axis=0)
+        if pad_rows:
+            # duplicate the last row so every shard slices a full block
+            origins = jnp.concatenate(
+                [origins, jnp.broadcast_to(origins[-1:],
+                                           (pad_rows,) + origins.shape[1:])])
+            dirs = jnp.concatenate(
+                [dirs, jnp.broadcast_to(dirs[-1:],
+                                        (pad_rows,) + dirs.shape[1:])])
+        o = jax.lax.dynamic_slice_in_dim(origins, row0, rows_per, axis=0)
+        d = jax.lax.dynamic_slice_in_dim(dirs, row0, rows_per, axis=0)
         rgb = render_rays(scene_rep, o, d, lp, li, lt, cc, backend=backend)
         rgba = jnp.concatenate(
             [rgb, jnp.ones(rgb.shape[:-1] + (1,), jnp.float32)], axis=-1)
         return shading.gamma_post(rgba)
 
-    return _render(scene, jnp.asarray(view_inv), jnp.asarray(proj_inv))
+    img = _render(scene, jnp.asarray(view_inv), jnp.asarray(proj_inv))
+    return img[:height] if pad_rows else img
