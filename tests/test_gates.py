@@ -19,6 +19,7 @@ def test_gate2_bunny_render():
 
 def test_gate3_vec_octree_aov():
     out = run_gate("vec256", scale=0.08)
+    assert out["backend"] == "octree"  # the walk must not be bypassed
     assert out["vec_aabbs"] > 0
     assert out["octree_nodes"] >= 1
     assert out["hit_pixels"] > 0

@@ -127,3 +127,35 @@ def test_octree_21bit_limit():
 def test_octree_memory_accounting(sphere_tree):
     _, _, _, tree, _ = sphere_tree
     assert tree.memory_usage_bytes() == tree.n_items * 8 + tree.n_nodes * 40
+
+
+def test_device_sort_path_bit_identical():
+    """from_mesh(sort_device=True) — the on-device lax.sort limb path —
+    must produce exactly the host/native build."""
+    v, f = meshes.icosphere(1)
+    a = Octree.from_mesh(v, f, 0.25, sort_device=False)
+    b = Octree.from_mesh(v, f, 0.25, sort_device=True)
+    assert np.array_equal(a.codes_u64(), b.codes_u64())
+    assert np.array_equal(np.asarray(a.children), np.asarray(b.children))
+    assert np.array_equal(np.asarray(a.node_start),
+                          np.asarray(b.node_start))
+    assert np.array_equal(np.asarray(a.node_count),
+                          np.asarray(b.node_count))
+    assert a.set_calls == b.set_calls
+
+
+def test_sort_codes_device_order_and_sentinel():
+    from voxelray_tpu.ops.morton import sort_codes_device
+
+    rng = np.random.default_rng(7)
+    hi = rng.integers(0, 1 << 31, size=257, dtype=np.uint32)
+    lo = rng.integers(0, 1 << 32, size=257, dtype=np.uint32)
+    hi[10] = hi[20] = np.uint32(0xFFFFFFFF)  # sentinels
+    lo[10] = lo[20] = np.uint32(0xFFFFFFFF)
+    hs, ls = sort_codes_device(hi, lo)
+    got = (np.asarray(hs).astype(np.uint64) << np.uint64(32)) \
+        | np.asarray(ls).astype(np.uint64)
+    want = np.sort((hi.astype(np.uint64) << np.uint64(32))
+                   | lo.astype(np.uint64))
+    assert np.array_equal(got, want)
+    assert got[-1] == np.uint64(0xFFFFFFFFFFFFFFFF)

@@ -16,13 +16,19 @@ ranges on the 3-bit octant digit per level.  Exact semantics preserved:
     (buildNodeRecursive, octTree.hpp:319-358); INVALID child = 0xFFFFFFFF.
 
 TPU-first differences: Morton encoding is magic-bits on device (no byte
-LUT gathers), the sort is jax.lax.sort on (hi, lo) uint32 limb pairs, and
-node construction is a *level-order vectorized* sweep over the sorted code
-array (one searchsorted batch per level) instead of 512-MiB-stack
-recursion — then renumbered to the reference's pre-order for parity.
+LUT gathers); the item encode + sort runs ON DEVICE (jax.lax.sort over
+(hi, lo) uint32 limb pairs, ops/morton.py:sort_codes_device) whenever a
+non-CPU backend is active — non-hit slots are routed to an all-ones
+sentinel that sorts last, so the voxelize -> sorted-codes pipeline never
+leaves the chip; node construction is a *level-order vectorized* sweep
+over the sorted code array (one searchsorted batch per level, host side —
+O(nodes), cheap) instead of 512-MiB-stack recursion — then renumbered to
+the reference's pre-order for parity.  On CPU the native C++ sort/build
+is used instead (bit-identical; tests pin all three paths).
 """
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass, field
 from typing import Any
@@ -32,7 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.morton import (morton_decode3_np, morton_encode3,
-                          morton_encode3_np)
+                          morton_encode3_np, sort_codes_device)
 
 __all__ = ["Octree", "build_nodes", "INVALID_INDEX"]
 
@@ -144,6 +150,25 @@ def build_nodes(codes_sorted: np.ndarray, max_depth: int,
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("nx", "ny"))
+def _encode_sort_items(hit, lin, nx, ny):
+    """Morton-encode the SAT-hit cells and sort them — all on device.
+
+    hit: (K,) bool, lin: (K,) int32 linear cell ids.  Non-hit slots get
+    the (0xFFFFFFFF, 0xFFFFFFFF) sentinel (sorts after every valid 63-bit
+    code); the caller slices the first n_items of the result.  Static
+    nx/ny keep the integer div/mod lowering cheap (see CLAUDE.md #6).
+    """
+    x = lin % nx
+    y = (lin // nx) % ny
+    z = lin // (nx * ny)
+    hi, lo = morton_encode3(x, y, z)
+    sent = jnp.uint32(0xFFFFFFFF)
+    hi = jnp.where(hit, hi, sent)
+    lo = jnp.where(hit, lo, sent)
+    return sort_codes_device(hi, lo)
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class Octree:
@@ -169,7 +194,7 @@ class Octree:
     # -- construction ------------------------------------------------------
     @classmethod
     def from_mesh(cls, vertices, faces, voxel_size, max_items_per_leaf=16,
-                  bb_min=None, bb_max=None, chunk=2048):
+                  bb_min=None, bb_max=None, chunk=2048, sort_device=None):
         from ..ops.geometry import grid_dims, mesh_bbox
         from ..ops.voxelize import required_window_shape, voxelize_dense
 
@@ -218,25 +243,40 @@ class Octree:
 
         # one item per SAT hit, duplicates preserved (octTree.hpp:769-771)
         nx, ny, _nz = dims
-        hit_np = np.asarray(hit).reshape(-1)
-        lin_np = np.asarray(lin).reshape(-1)[hit_np].astype(np.int64)
-        x = (lin_np % nx).astype(np.uint64)
-        y = ((lin_np // nx) % ny).astype(np.uint64)
-        z = (lin_np // (nx * ny)).astype(np.uint64)
-
-        # native encode/sort/build when the C++ runtime is present
-        # (bit-identical to the numpy path; tests pin both)
-        from .. import native as vnative
-        if vnative.available():
-            codes = vnative.sort_codes_native(
-                vnative.morton_encode_native(
-                    x.astype(np.uint32), y.astype(np.uint32),
-                    z.astype(np.uint32)))
-            nodes = vnative.build_octree_nodes_native(
-                codes, max_depth, int(max_items_per_leaf))
-        else:
-            codes = np.sort(morton_encode3_np(x, y, z))
+        if sort_device is None:
+            sort_device = jax.default_backend() != "cpu"
+        if sort_device:
+            # device path: encode + lax.sort on chip (non-hits routed to
+            # the all-ones sentinel, which sorts last); only the sorted
+            # prefix [:n_items] crosses to the host for node layout
+            hi_s, lo_s = _encode_sort_items(hit.reshape(-1),
+                                            lin.reshape(-1), nx, ny)
+            n_items = int(calls)
+            codes = ((np.asarray(hi_s[:n_items]).astype(np.uint64)
+                      << np.uint64(32))
+                     | np.asarray(lo_s[:n_items]).astype(np.uint64))
             nodes = build_nodes(codes, max_depth, int(max_items_per_leaf))
+        else:
+            hit_np = np.asarray(hit).reshape(-1)
+            lin_np = np.asarray(lin).reshape(-1)[hit_np].astype(np.int64)
+            x = (lin_np % nx).astype(np.uint64)
+            y = ((lin_np // nx) % ny).astype(np.uint64)
+            z = (lin_np // (nx * ny)).astype(np.uint64)
+
+            # native encode/sort/build when the C++ runtime is present
+            # (bit-identical to the numpy path; tests pin both)
+            from .. import native as vnative
+            if vnative.available():
+                codes = vnative.sort_codes_native(
+                    vnative.morton_encode_native(
+                        x.astype(np.uint32), y.astype(np.uint32),
+                        z.astype(np.uint32)))
+                nodes = vnative.build_octree_nodes_native(
+                    codes, max_depth, int(max_items_per_leaf))
+            else:
+                codes = np.sort(morton_encode3_np(x, y, z))
+                nodes = build_nodes(codes, max_depth,
+                                    int(max_items_per_leaf))
         ix, iy, iz = morton_decode3_np(codes)
         return cls(
             code_hi=jnp.asarray((codes >> np.uint64(32)).astype(np.uint32)),

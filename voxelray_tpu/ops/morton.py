@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["morton_encode3", "morton_decode3", "morton_encode3_np",
-           "morton_decode3_np", "spread_bits_np"]
+           "morton_decode3_np", "spread_bits_np", "sort_codes_device"]
 
 
 def spread_bits_np(v: np.ndarray) -> np.ndarray:
@@ -86,6 +86,23 @@ def morton_encode3(x, y, z):
         | (((y >> 20) & 1) << 29) \
         | (((z >> 20) & 1) << 30)
     return hi, lo
+
+
+def sort_codes_device(hi, lo):
+    """On-device lexicographic sort of (hi, lo) uint32 Morton limb pairs.
+
+    The TPU-native analog of the reference's only parallel sort,
+    std::sort(std::execution::par_unseq) over 64-bit Morton keys
+    (octTree.hpp:363-364): jax.lax.sort with both limbs as keys (hi major)
+    gives exactly the uint64 ascending order.  Callers routing invalid
+    items to the (0xFFFFFFFF, 0xFFFFFFFF) sentinel get them sorted last
+    (valid 63-bit codes have hi <= 0x7FFFFFFF).
+    """
+    import jax
+
+    hi = jnp.asarray(hi, jnp.uint32)
+    lo = jnp.asarray(lo, jnp.uint32)
+    return jax.lax.sort((hi, lo), num_keys=2)
 
 
 def _compact10(v):

@@ -66,7 +66,7 @@ BASELINE_CONFIGS = {
     # 2. bunny -> AABB-struct 128^3 + primary-ray render, flat shading
     "bunny128": _cfg("bunny", 2.8 / 128, "aabbstruct"),
     # 3. vec encoding 256^3 + octree traversal, depth+normal output
-    "vec256": _cfg("bunny", 2.8 / 256, "vec"),
+    "vec256": _cfg("bunny", 2.8 / 256, "vec", backend="octree"),
     # 4. 1M-triangle mesh -> 512^3, 1080p, shadows, fly-through
     "knot512": _cfg("knot1m", 4.3 / 512, "bool", width=1920, height=1080,
                     frames=8),

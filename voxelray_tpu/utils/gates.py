@@ -64,13 +64,20 @@ def gate3_vec_octree_aov(cfg: JobConfig, scale=1.0, **kw):
     vs = cfg.voxelize.voxel_size / scale
     gvec = build_grid("vec", v, f, vs)
     tree = build_grid("octree", v, f, vs)
-    # the octree's occupancy drives the hierarchical traversal; the vec
-    # encoding provides the AABB list (identical geometry)
+    # the octree IS the acceleration structure here: it goes into the
+    # scene and backend="octree" routes traversal through the stackless
+    # node walk (ops/octree_traverse.py) — the vec encoding provides the
+    # AABB list (identical geometry)
+    if cfg.render.backend != "octree":
+        raise ValueError(
+            f"gate 3 must exercise the octree walk, got backend="
+            f"{cfg.render.backend!r}")
     scene = build_scene(models=None, grid={
         "occ": np.asarray(tree.occupancy()), "dims": tree.dims,
         "origin": np.asarray(tree.root_min),
         "voxel_size": tree.voxel_size},
-        aabbs=np.asarray(gvec.get_aabbs()))
+        aabbs=np.asarray(gvec.get_aabbs()), octree=tree)
+    assert scene.octree is not None
     w = max(64, int(cfg.render.width * scale))
     h = max(36, int(cfg.render.height * scale))
     depth, normal, hit = render_aov(scene, Camera(), width=w, height=h,
@@ -78,6 +85,7 @@ def gate3_vec_octree_aov(cfg: JobConfig, scale=1.0, **kw):
     depth = np.asarray(depth)
     return {"vec_aabbs": int(gvec.aabbs.shape[0]),
             "octree_nodes": tree.n_nodes,
+            "backend": cfg.render.backend,
             "hit_pixels": int(np.asarray(hit).sum()),
             "depth_min": float(depth[np.isfinite(depth)].min())
             if np.isfinite(depth).any() else None,
