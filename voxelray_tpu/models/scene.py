@@ -65,8 +65,13 @@ class Scene:
     tri_uv2: Any
     tri_mat: Any                    # int32[F] -> rows of materials
     tri_tex: Any                    # int32[F] -> texture layer or -1
+    tri_lod: Any                    # float32[F] texel-density log2 term
     materials: Any                  # float32[M, 20] packed rows
-    textures: Any                   # float32[T, TH, TW, 3] stacked (>=1 dummy)
+    textures: Any                   # float32[T, TH, TWA, 3] mip atlases
+                                    # (level 0 top-left, levels >= 1 stacked
+                                    # down the right column; >= 1 dummy)
+    tex_meta: Any                   # int32[T, LMAX, 4] per-level
+                                    # (y0, x0, h, w) atlas placements
     # voxel geometry
     voxel_aabbs: Any                # float32[N, 6]
     voxel_material: Any             # float32[20] (default MaterialObj)
@@ -165,14 +170,60 @@ def build_scene(models=None, grid=None, aabbs=None,
         tri_tex = np.zeros((0,), np.int32)
         materials = Material().as_row()[None]
 
-    # textures: 1x1 white dummy when none (hello_vulkan.cpp:297-312)
+    # textures: 1x1 white dummy when none (hello_vulkan.cpp:297-312).
+    # Each texture becomes a mip atlas (full chain like the reference's
+    # generateMipmaps, hello_vulkan.cpp:335-340): level 0 at the top-left,
+    # levels >= 1 stacked top-to-bottom in the column to its right.
+    # tex_meta records per-level (y0, x0, h, w) so differently-sized
+    # textures in one stack sample with their OWN dims (round-1 weak #5:
+    # padding to the max size corrupted every smaller texture's UVs).
     if not textures:
         textures = [np.ones((1, 1, 3), np.float32)]
-    th = max(t.shape[0] for t in textures)
-    tw = max(t.shape[1] for t in textures)
-    tex_stack = np.zeros((len(textures), th, tw, 3), np.float32)
-    for i, t in enumerate(textures):
-        tex_stack[i, : t.shape[0], : t.shape[1]] = t
+    from ..io.textures import build_mip_chain
+    chains = [build_mip_chain(t) for t in textures]
+    lmax = max(len(c) for c in chains)
+    th = max(max(c[0].shape[0], sum(l.shape[0] for l in c[1:]))
+             for c in chains)
+    tw = max(c[0].shape[1] + (c[1].shape[1] if len(c) > 1 else 0)
+             for c in chains)
+    tex_stack = np.zeros((len(chains), th, tw, 3), np.float32)
+    tex_meta = np.zeros((len(chains), lmax, 4), np.int32)
+    for i, chain in enumerate(chains):
+        h0, w0 = chain[0].shape[:2]
+        tex_stack[i, :h0, :w0] = chain[0]
+        tex_meta[i, 0] = (0, 0, h0, w0)
+        ycur = 0
+        for lv, img in enumerate(chain[1:], start=1):
+            hl, wl = img.shape[:2]
+            tex_stack[i, ycur: ycur + hl, w0: w0 + wl] = img
+            tex_meta[i, lv] = (ycur, w0, hl, wl)
+            ycur += hl
+        # levels past this texture's chain clamp to its last level
+        for lv in range(len(chain), lmax):
+            tex_meta[i, lv] = tex_meta[i, len(chain) - 1]
+
+    # per-triangle LOD constant for footprint mip selection:
+    # 0.5 * log2(texels_covered / world_area) so that
+    # lod = tri_lod + log2(world-space footprint at the hit) approximates
+    # the hardware derivative-based level of the reference's trilinear
+    # sampler (maxLod = FLT_MAX, hello_vulkan.cpp:288-293)
+    if models and len(tri_v0):
+        uv_e1 = tri_uv1 - tri_uv0
+        uv_e2 = tri_uv2 - tri_uv0
+        uv_area = 0.5 * np.abs(uv_e1[:, 0] * uv_e2[:, 1]
+                               - uv_e1[:, 1] * uv_e2[:, 0])
+        w_area = 0.5 * np.linalg.norm(
+            np.cross(tri_v1 - tri_v0, tri_v2 - tri_v0), axis=-1)
+        layer = np.clip(tri_tex, 0, len(chains) - 1)
+        texels = (tex_meta[layer, 0, 2].astype(np.float64)
+                  * tex_meta[layer, 0, 3])
+        dens = uv_area * texels / np.maximum(w_area, 1e-20)
+        tri_lod = np.where(
+            tri_tex >= 0,
+            0.5 * np.log2(np.maximum(dens, 1e-20)), 0.0
+        ).astype(np.float32)
+    else:
+        tri_lod = np.zeros((len(tri_v0),), np.float32)
 
     # voxel geometry; an Octree may serve directly as the grid source
     from .octree import Octree as _Octree
@@ -217,7 +268,9 @@ def build_scene(models=None, grid=None, aabbs=None,
         tri_n0=as_j(tri_n0), tri_n1=as_j(tri_n1), tri_n2=as_j(tri_n2),
         tri_uv0=as_j(tri_uv0), tri_uv1=as_j(tri_uv1), tri_uv2=as_j(tri_uv2),
         tri_mat=as_j(tri_mat), tri_tex=as_j(tri_tex),
+        tri_lod=as_j(tri_lod),
         materials=as_j(materials), textures=as_j(tex_stack),
+        tex_meta=as_j(tex_meta),
         voxel_aabbs=as_j(np.asarray(aabbs, np.float32)),
         voxel_material=as_j(vox_mat),
         occ_flat=as_j(occ_flat), grid_origin=as_j(np.asarray(g_org,

@@ -40,26 +40,59 @@ from .camera import Camera
 __all__ = ["render_rays", "render_image", "render_scene", "render_aov"]
 
 
-def _sample_texture(textures, layer, uv):
-    """Bilinear sample with repeat addressing; layer -1 -> white."""
-    t, h, w, _ = textures.shape
+def _sample_texture(textures, tex_meta, layer, uv, lod=None):
+    """Bilinear/trilinear sample with repeat addressing; layer -1 -> white.
+
+    textures is the (T, TH, TWA, 3) mip-atlas stack, tex_meta the
+    (T, LMAX, 4) per-level (y0, x0, h, w) placements (models/scene.py) —
+    every texture samples with its OWN dims, so mixed-size stacks are
+    correct.  lod=None samples the base level (the reference's ray-traced
+    path: implicit-lod texture() in a closest-hit stage reads level 0);
+    a float lod array gives trilinear filtering across the mip chain
+    (the raster path's sampler, maxLod = FLT_MAX).
+    """
+    t = textures.shape[0]
+    lmax = tex_meta.shape[1]
     layer_c = jnp.clip(layer, 0, t - 1)
-    u = uv[..., 0] * w - 0.5
-    v = uv[..., 1] * h - 0.5
-    x0 = jnp.floor(u)
-    y0 = jnp.floor(v)
-    fu = (u - x0)[..., None]
-    fv = (v - y0)[..., None]
+    # wrap to [0,1) in float once — avoids integer mod by traced dims
+    # (pathologically slow lowering, CLAUDE.md #6)
+    uvw = uv - jnp.floor(uv)
 
-    def fetch(xi, yi):
-        xi = jnp.mod(xi.astype(jnp.int32), w)
-        yi = jnp.mod(yi.astype(jnp.int32), h)
-        return textures[layer_c, yi, xi]
+    def level_sample(lv):
+        meta = tex_meta[layer_c, lv]                       # (..., 4)
+        y0 = meta[..., 0]
+        x0 = meta[..., 1]
+        hh = meta[..., 2]
+        ww = meta[..., 3]
+        u = uvw[..., 0] * ww.astype(jnp.float32) - 0.5
+        v = uvw[..., 1] * hh.astype(jnp.float32) - 0.5
+        xf = jnp.floor(u)
+        yf = jnp.floor(v)
+        fu = (u - xf)[..., None]
+        fv = (v - yf)[..., None]
+        xi = xf.astype(jnp.int32)
+        yi = yf.astype(jnp.int32)
 
-    c = (fetch(x0, y0) * (1 - fu) * (1 - fv)
-         + fetch(x0 + 1, y0) * fu * (1 - fv)
-         + fetch(x0, y0 + 1) * (1 - fu) * fv
-         + fetch(x0 + 1, y0 + 1) * fu * fv)
+        def fetch(xa, ya):
+            # u in [-0.5, w-0.5) -> xi in [-1, w-1], xi+1 in [0, w]:
+            # only the two edge cases need wrapping
+            xa = jnp.where(xa < 0, ww - 1, jnp.where(xa >= ww, 0, xa))
+            ya = jnp.where(ya < 0, hh - 1, jnp.where(ya >= hh, 0, ya))
+            return textures[layer_c, ya + y0, xa + x0]
+
+        return (fetch(xi, yi) * (1 - fu) * (1 - fv)
+                + fetch(xi + 1, yi) * fu * (1 - fv)
+                + fetch(xi, yi + 1) * (1 - fu) * fv
+                + fetch(xi + 1, yi + 1) * fu * fv)
+
+    if lod is None:
+        c = level_sample(jnp.zeros(uv.shape[:-1], jnp.int32))
+    else:
+        lod = jnp.clip(lod, 0.0, jnp.float32(lmax - 1))
+        l0 = jnp.floor(lod).astype(jnp.int32)
+        l1 = jnp.minimum(l0 + 1, lmax - 1)
+        fl = (lod - l0.astype(jnp.float32))[..., None]
+        c = level_sample(l0) * (1 - fl) + level_sample(l1) * fl
     return jnp.where((layer >= 0)[..., None], c, 1.0)
 
 
@@ -99,7 +132,8 @@ def _voxel_center_of_hit(scene: Scene, hit_id, backend):
     return (box[..., 0:3] + box[..., 3:6]) * 0.5
 
 
-def _any_hit(scene: Scene, origins, dirs, t_min, t_max, backend):
+def _any_hit(scene: Scene, origins, dirs, t_min, t_max, backend,
+             admit=None):
     occluded = jnp.zeros(origins.shape[:-1], bool)
     if scene.n_triangles:
         occluded |= any_hit_triangles_brute(
@@ -112,7 +146,8 @@ def _any_hit(scene: Scene, origins, dirs, t_min, t_max, backend):
     elif backend == "fast" and scene.accel is not None:
         from ..ops.traverse_fast import any_hit_grid_fast
         occluded |= any_hit_grid_fast(origins, dirs, scene.accel,
-                                      t_min=t_min, t_max=t_max)
+                                      t_min=t_min, t_max=t_max,
+                                      admit=admit)
     elif backend == "dda" and scene.occ_flat.shape[0] > 0:
         occluded |= any_hit_grid_dda(
             origins, dirs, scene.occ_flat, scene.grid_origin,
@@ -180,17 +215,27 @@ def render_rays(scene: Scene, origins, dirs, light_position,
     if scene.n_triangles:
         uv = (scene.tri_uv0[tid] * w + scene.tri_uv1[tid] * bu[..., None]
               + scene.tri_uv2[tid] * bv[..., None])
-        tex_rgb = _sample_texture(scene.textures, scene.tri_tex[tid], uv)
+        # base-level sample: GLSL texture() in a closest-hit stage has no
+        # implicit derivatives, so the reference's RT path reads mip 0
+        # (raytrace.rchit:99-105); the raster path uses the full chain
+        tex_rgb = _sample_texture(scene.textures, scene.tex_meta,
+                                  scene.tri_tex[tid], uv)
         diffuse = jnp.where(tri_hit[..., None], diffuse * tex_rgb, diffuse)
 
     # ---- shadow ray ----------------------------------------------------
     facing = (normal * l_vec).sum(-1) > 0.0
     if shadows:
-        # NOTE (measured): deadening unneeded shadow rays via t_max = -1
-        # consistently REGRESSED the mid bench by ~23% — do not "optimize"
-        # this without re-measuring
+        # shadow rays matter only for pixels that hit something facing
+        # the light: the fast backend compacts to that set via its admit
+        # mask (round-1 resident buffer n/4 — VERDICT item 7).  Miss
+        # pixels' shadow results feed a color the final miss-select
+        # discards, so skipping them cannot change the image.
+        # NOTE (measured, round 1): deadening rays via t_max = -1 inside
+        # the full-width trace REGRESSED 23% — buffer compaction is the
+        # form that pays.
+        admit = (any_hit & facing) if backend == "fast" else None
         shadowed = _any_hit(scene, world_pos, l_vec, TMIN, light_dist,
-                            backend)
+                            backend, admit=admit)
         shadowed = jnp.where(facing, shadowed, True)  # traced when facing
     else:
         # shadows disabled: every facing surface counts as lit

@@ -92,6 +92,7 @@ def rasterize_image(scene: Scene, view, proj, eye, light_position,
         t0=pad_to(scene.tri_uv0), t1=pad_to(scene.tri_uv1),
         t2=pad_to(scene.tri_uv2),
         mat=pad_to(scene.tri_mat), tex=pad_to(scene.tri_tex, -1),
+        lod=pad_to(scene.tri_lod),
     )
     data = {k: v.reshape((n_chunks, chunk) + v.shape[1:])
             for k, v in data.items()}
@@ -160,12 +161,19 @@ def rasterize_image(scene: Scene, view, proj, eye, light_position,
         l_vec, intensity, _ = shading.light_terms(
             world, light_position, light_intensity, light_type)
         diffuse = shading.compute_diffuse(mat, l_vec, nrm)
-        from .pipeline import _sample_texture
-        diffuse = diffuse * _sample_texture(scene.textures,
-                                            tri["tex"][best], uv)
         view_dir = world - eye
-        view_dir = view_dir / jnp.maximum(
-            jnp.linalg.norm(view_dir, axis=-1, keepdims=True), 1e-20)
+        dist = jnp.linalg.norm(view_dir, axis=-1)
+        view_dir = view_dir / jnp.maximum(dist[..., None], 1e-20)
+        # trilinear mip sampling (the raster pipeline's sampler really is
+        # derivative-driven, maxLod = FLT_MAX — approximated here by the
+        # pixel footprint at the hit distance)
+        from .pipeline import _sample_texture
+        spread = 2.0 / (jnp.abs(proj[1, 1]) * height)
+        cosv = jnp.abs((nrm * view_dir).sum(-1))
+        footprint = dist * spread / jnp.maximum(cosv, 1e-3)
+        lod = tri["lod"][best] + jnp.log2(jnp.maximum(footprint, 1e-20))
+        diffuse = diffuse * _sample_texture(scene.textures, scene.tex_meta,
+                                            tri["tex"][best], uv, lod)
         specular = shading.compute_specular(mat, view_dir, l_vec, nrm)
         color = intensity[..., None] * (diffuse + specular)
 
