@@ -95,3 +95,21 @@ def test_mesh_registry():
 def test_knot1m_size():
     v, f = meshes.torus_knot(2, 3, 1024, 512)
     assert len(f) == 1024 * 512 * 2  # ~1.05M triangles
+
+
+def test_material_dedup_map():
+    """addMatrialIfNeeded semantics (voxelgrid.hpp:102-114): value-equal
+    materials share one index; new ones append in insertion order."""
+    from voxelray_tpu.io.objload import Material, MaterialDedup
+
+    d = MaterialDedup()
+    a = Material(diffuse=(1.0, 0.0, 0.0))
+    b = Material(diffuse=(0.0, 1.0, 0.0))
+    assert d.add_material_if_needed(a) == 0
+    assert d.add_material_if_needed(b) == 1
+    # a value-equal copy dedups to the existing index
+    assert d.add_material_if_needed(Material(diffuse=(1.0, 0.0, 0.0))) == 0
+    assert d.add_material_if_needed(b) == 1
+    rows = d.rows()
+    assert rows.shape == (2, 20)
+    assert np.allclose(rows[0], a.as_row())

@@ -29,8 +29,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-__all__ = ["Material", "RawMesh", "LoadedModel", "ObjLoader",
-           "load_mesh", "load_materials", "write_obj"]
+__all__ = ["Material", "MaterialDedup", "RawMesh", "LoadedModel",
+           "ObjLoader", "load_mesh", "load_materials", "write_obj"]
 
 
 @dataclass
@@ -61,6 +61,39 @@ class Material:
              self.dissolve, float(self.illum), float(self.texture_id)],
             dtype=np.float32,
         )
+
+
+class MaterialDedup:
+    """`addMatrialIfNeeded` equivalent (src/voxelgrid.hpp:102-114).
+
+    The reference keeps an unordered_map<MaterialObj, int16_t> on the
+    grid so per-voxel materials can be deduplicated into a compact table;
+    every in-repo caller passes the default material and the map is
+    effectively disabled (setVoxel ignores it on the parallel path).
+    This mirrors the exact semantics — value-equality dedup, int16
+    indices, insertion order — so a materials-per-voxel workflow has the
+    same tool available.
+    """
+
+    def __init__(self):
+        self._index: dict[tuple, int] = {}
+        self.materials: list[Material] = []
+
+    def add_material_if_needed(self, material: Material) -> int:
+        key = tuple(material.as_row().tolist())
+        idx = self._index.get(key)
+        if idx is None:
+            idx = len(self.materials)
+            if idx > 32767:  # int16_t, like the reference's map values
+                raise OverflowError("more than 32767 distinct materials")
+            self._index[key] = idx
+            self.materials.append(material)
+        return idx
+
+    def rows(self) -> np.ndarray:
+        if not self.materials:
+            return np.zeros((0, 20), np.float32)
+        return np.stack([m.as_row() for m in self.materials])
 
 
 # Column indices into the packed material row (see Material.as_row).
