@@ -93,3 +93,89 @@ def test_fast_rays_starting_inside(setup):
     t_f, lin_f = trace_grid_fast(o, d, accel, chunk=8)
     assert np.array_equal(np.isfinite(np.asarray(t_d)),
                           np.isfinite(np.asarray(t_f)))
+
+
+def test_fast_dense_scene_overflow_rewind():
+    """A solid block makes ~every ray carry candidate bricks, forcing the
+    fine-buffer overflow path: overflow rays must rewind and resolve in a
+    later round, never drop (round-2 compaction machinery)."""
+    occ = np.ones((24, 24, 24), np.uint8)
+    accel = build_accel(occ, np.zeros(3, np.float32), 0.1)
+    W, H = 64, 48
+    # face-on close-up: the block face fills most of the frame
+    cam = Camera(eye=(1.2, 1.2, -1.6), center=(1.2, 1.2, 1.2))
+    _, _, vi, pi = cam.matrices(W, H)
+    o, d = make_camera_rays(W, H, vi, pi)
+    t_d, lin_d = trace_grid_dda(
+        o, d, jnp.asarray(occ.reshape(-1)), jnp.zeros(3, jnp.float32),
+        dims=(24, 24, 24), voxel_size_static=0.1)
+    t_f, lin_f = trace_grid_fast(o, d, accel, chunk=8)
+    hd = np.isfinite(np.asarray(t_d))
+    hf = np.isfinite(np.asarray(t_f))
+    assert hd.mean() > 0.5  # the block really covers most of the frame
+    assert np.array_equal(hd, hf)
+    assert np.array_equal(np.asarray(lin_d)[hd], np.asarray(lin_f)[hf])
+    assert np.allclose(np.asarray(t_d)[hd], np.asarray(t_f)[hd],
+                       rtol=2e-6, atol=0)
+
+
+def test_fast_admit_mask(setup):
+    """admit=False rays must return miss; admitted rays must match the
+    unmasked trace exactly (the shadow-compaction entry point)."""
+    grid, occ, accel = setup
+    W, H = 64, 36
+    _, _, vi, pi = Camera().matrices(W, H)
+    o, d = make_camera_rays(W, H, vi, pi)
+    rng = np.random.default_rng(11)
+    admit = jnp.asarray(rng.random((H, W)) < 0.3)
+    t_all, lin_all = trace_grid_fast(o, d, accel, chunk=8)
+    t_m, lin_m = trace_grid_fast(o, d, accel, chunk=8, admit=admit)
+    a = np.asarray(admit)
+    assert not np.isfinite(np.asarray(t_m)[~a]).any()
+    assert np.array_equal(np.asarray(lin_m)[a], np.asarray(lin_all)[a])
+    assert np.array_equal(np.isfinite(np.asarray(t_m))[a],
+                          np.isfinite(np.asarray(t_all))[a])
+
+
+def test_any_hit_matches_trace(setup):
+    grid, occ, accel = setup
+    from voxelray_tpu.ops.traverse_fast import any_hit_grid_fast
+    W, H = 64, 36
+    _, _, vi, pi = Camera().matrices(W, H)
+    o, d = make_camera_rays(W, H, vi, pi)
+    t, _ = trace_grid_fast(o, d, accel, chunk=8)
+    occl = any_hit_grid_fast(o, d, accel, chunk=8)
+    assert np.array_equal(np.asarray(occl),
+                          np.isfinite(np.asarray(t)))
+
+
+def test_two_level_walk_matches_single_level(setup):
+    """The superbrick (L2) walk must reproduce the single-level walk's
+    results exactly — conservative skips may waste steps but can never
+    change which brick accepts first."""
+    grid, occ, accel = setup
+    W, H = 96, 54
+    _, _, vi, pi = Camera().matrices(W, H)
+    o, d = make_camera_rays(W, H, vi, pi)
+    t_1, lin_1 = trace_grid_fast(o, d, accel, chunk=8, two_level=False)
+    t_2, lin_2 = trace_grid_fast(o, d, accel, chunk=8, two_level=True)
+    assert np.array_equal(np.asarray(lin_1), np.asarray(lin_2))
+    h = np.isfinite(np.asarray(t_1))
+    assert np.array_equal(h, np.isfinite(np.asarray(t_2)))
+    assert np.array_equal(np.asarray(t_1)[h], np.asarray(t_2)[h])
+
+
+def test_two_level_walk_random_rays(setup):
+    grid, occ, accel = setup
+    rng = np.random.default_rng(13)
+    n = 512
+    o = jnp.asarray(rng.uniform(-3, 3, (n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    tmax = jnp.asarray(rng.uniform(0.5, 20.0, n).astype(np.float32))
+    t_1, lin_1 = trace_grid_fast(o, d, accel, t_max=tmax, chunk=8,
+                                 two_level=False)
+    t_2, lin_2 = trace_grid_fast(o, d, accel, t_max=tmax, chunk=8,
+                                 two_level=True)
+    assert np.array_equal(np.asarray(lin_1), np.asarray(lin_2))

@@ -1,9 +1,9 @@
-"""Pallas kernel: per-voxel DDA inside a ray's hit brick.
+"""Pallas kernel: per-voxel DDA inside a ray's hit brick(s).
 
 Second stage of the accelerated traversal (after grid_walk finds each
-ray's next occupied 8^3 brick): the brick's 16 occupancy words arrive
+ray's next K occupied 8^3 bricks): the bricks' 16 occupancy words arrive
 pre-gathered from HBM, and this kernel walks the <= 22 cells the ray
-actually crosses inside the brick — replacing the dense 512-cell slab
+actually crosses inside each brick — replacing the dense 512-cell slab
 pass, whose (N, 512) float intermediates made it HBM-bandwidth-bound.
 
 Per step: a 16-way register mux picks the word for the current cell,
@@ -11,6 +11,13 @@ the cell's AABB slab t0 is evaluated with the reference float expressions
 (raytrace.rint:46-56 + report/interval rules), and the first accepted
 cell wins.  Everything stays in vregs; no memory traffic beyond the
 inputs.
+
+fine_walk_multi fuses all K candidate slots into ONE kernel invocation
+(round-2 roadmap item): slots run as K sequential in-register walks; a
+lane goes dead for the remaining slots the moment an earlier slot
+resolves it, and fully-resolved blocks exit each slot's while loop after
+a single scalar check.  This replaces K separate kernel dispatches + K
+separate HBM gathers with one of each.
 """
 from __future__ import annotations
 
@@ -24,19 +31,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .grid_walk import LANES
 
-__all__ = ["fine_walk"]
+__all__ = ["fine_walk", "fine_walk_multi"]
 
 BRICK = 8
 _INF = np.float32(np.inf)
 
 
-def _make_kernel(dims, bdims, origin, voxel_size, bq):
+def _make_kernel(dims, bdims, origin, voxel_size, bq, k_slots, any_hit):
     nx, ny, nz = dims
     bx, by, _bz = bdims
     ogx, ogy, ogz = (np.float32(origin[0]), np.float32(origin[1]),
                      np.float32(origin[2]))
     vs = np.float32(voxel_size)
     half = np.float32(0.5) * vs
+    bwf = np.float32(BRICK) * vs
     max_steps = 3 * BRICK + 1
 
     def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
@@ -46,45 +54,10 @@ def _make_kernel(dims, bdims, origin, voxel_size, bq):
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
         t_lo = tmin_ref[:]
         t_hi = tmax_ref[:]
-        bid = brick_ref[:]
-        valid = bid >= 0
-        b = jnp.maximum(bid, 0)
-        bcx = b % bx
-        bcy = (b // bx) % by
-        bcz = b // (bx * by)
-        # brick world bounds
-        bminx = ogx + (bcx * BRICK).astype(jnp.float32) * vs
-        bminy = ogy + (bcy * BRICK).astype(jnp.float32) * vs
-        bminz = ogz + (bcz * BRICK).astype(jnp.float32) * vs
-        bwf = np.float32(BRICK) * vs
 
         inv_x = 1.0 / dx
         inv_y = 1.0 / dy
         inv_z = 1.0 / dz
-
-        # entry t into the brick
-        def axis_entry(bmin, o, inv, d):
-            t0 = (bmin - o) * inv
-            t1 = (bmin + bwf - o) * inv
-            return (jnp.where(d == 0.0, -_INF, jnp.minimum(t0, t1)),
-                    jnp.where(d == 0.0, _INF, jnp.maximum(t0, t1)))
-
-        ex, xx = axis_entry(bminx, ox, inv_x, dx)
-        ey, xy = axis_entry(bminy, oy, inv_y, dy)
-        ez, xz = axis_entry(bminz, oz, inv_z, dz)
-        t_enter = jnp.maximum(jnp.maximum(ex, ey), ez)
-        t_start = jnp.maximum(t_enter, 0.0) + np.float32(1e-7)
-
-        px = ox + dx * t_start
-        py = oy + dy * t_start
-        pz = oz + dz * t_start
-        lx = jnp.clip(jnp.floor((px - bminx) / vs).astype(jnp.int32), 0,
-                      BRICK - 1)
-        ly = jnp.clip(jnp.floor((py - bminy) / vs).astype(jnp.int32), 0,
-                      BRICK - 1)
-        lz = jnp.clip(jnp.floor((pz - bminz) / vs).astype(jnp.int32), 0,
-                      BRICK - 1)
-
         sx = jnp.where(dx >= 0, 1, -1).astype(jnp.int32)
         sy = jnp.where(dy >= 0, 1, -1).astype(jnp.int32)
         sz = jnp.where(dz >= 0, 1, -1).astype(jnp.int32)
@@ -92,94 +65,142 @@ def _make_kernel(dims, bdims, origin, voxel_size, bq):
         fy = (sy > 0).astype(jnp.int32)
         fz = (sz > 0).astype(jnp.int32)
 
-        words = [words_ref[k] for k in range(16)]
+        best_t = jnp.full((bq, LANES), _INF, jnp.float32)
+        best_lin = jnp.full((bq, LANES), -1, jnp.int32)
 
-        def body(state):
-            lx, ly, lz, best_t, best_lin, act_i, step = state
-            act = act_i != 0
-            lin_local = lx + BRICK * (ly + BRICK * lz)
-            wsel = lin_local >> 5
-            word = jnp.zeros(lin_local.shape, jnp.uint32)
-            for k in range(16):
-                word = jnp.where(wsel == k, words[k], word)
-            occ = ((word >> (lin_local & 31).astype(jnp.uint32)) & 1) > 0
+        # entry t into a brick along one axis
+        def axis_entry(bmin, o, inv, d):
+            t0 = (bmin - o) * inv
+            t1 = (bmin + bwf - o) * inv
+            return jnp.where(d == 0.0, -_INF, jnp.minimum(t0, t1))
 
-            gx = bcx * BRICK + lx
-            gy = bcy * BRICK + ly
-            gz = bcz * BRICK + lz
-            in_dims = (gx < nx) & (gy < ny) & (gz < nz)
+        for s in range(k_slots):
+            bid = brick_ref[s]
+            # a lane resolved by an earlier slot skips the rest: the
+            # coarse walk records slots in ray order, so the first
+            # accepted cell over slots is the global nearest
+            valid = (bid >= 0) & ~jnp.isfinite(best_t)
+            b = jnp.maximum(bid, 0)
+            bcx = b % bx
+            bcy = (b // bx) % by
+            bcz = b // (bx * by)
+            bminx = ogx + (bcx * BRICK).astype(jnp.float32) * vs
+            bminy = ogy + (bcy * BRICK).astype(jnp.float32) * vs
+            bminz = ogz + (bcz * BRICK).astype(jnp.float32) * vs
 
-            # reference cell AABB slab test
-            ccx = ogx + (gx.astype(jnp.float32) + 0.5) * vs
-            ccy = ogy + (gy.astype(jnp.float32) + 0.5) * vs
-            ccz = ogz + (gz.astype(jnp.float32) + 0.5) * vs
-            tb = inv_x * ((ccx - half) - ox)
-            tt = inv_x * ((ccx + half) - ox)
-            t0 = jnp.minimum(tb, tt)
-            t1 = jnp.maximum(tb, tt)
-            tb = inv_y * ((ccy - half) - oy)
-            tt = inv_y * ((ccy + half) - oy)
-            t0 = jnp.maximum(t0, jnp.minimum(tb, tt))
-            t1 = jnp.minimum(t1, jnp.maximum(tb, tt))
-            tb = inv_z * ((ccz - half) - oz)
-            tt = inv_z * ((ccz + half) - oz)
-            t0 = jnp.maximum(t0, jnp.minimum(tb, tt))
-            t1 = jnp.minimum(t1, jnp.maximum(tb, tt))
-            accept = (t1 > jnp.maximum(t0, 0.0)) & (t0 > 0.0) \
-                & (t0 >= t_lo) & (t0 <= t_hi)
+            ex = axis_entry(bminx, ox, inv_x, dx)
+            ey = axis_entry(bminy, oy, inv_y, dy)
+            ez = axis_entry(bminz, oz, inv_z, dz)
+            t_enter = jnp.maximum(jnp.maximum(ex, ey), ez)
+            t_start = jnp.maximum(t_enter, 0.0) + np.float32(1e-7)
 
-            hit = act & occ & accept & in_dims
-            best_t = jnp.where(hit, t0, best_t)
-            best_lin = jnp.where(hit, gx + nx * (gy + ny * gz), best_lin)
-            act = act & ~hit
+            px = ox + dx * t_start
+            py = oy + dy * t_start
+            pz = oz + dz * t_start
+            lx = jnp.clip(jnp.floor((px - bminx) / vs).astype(jnp.int32),
+                          0, BRICK - 1)
+            ly = jnp.clip(jnp.floor((py - bminy) / vs).astype(jnp.int32),
+                          0, BRICK - 1)
+            lz = jnp.clip(jnp.floor((pz - bminz) / vs).astype(jnp.int32),
+                          0, BRICK - 1)
 
-            # step to the next cell in the brick
-            tnx = jnp.where(dx == 0.0, _INF,
-                            (bminx + (lx + fx).astype(jnp.float32) * vs - ox)
-                            * inv_x)
-            tny = jnp.where(dy == 0.0, _INF,
-                            (bminy + (ly + fy).astype(jnp.float32) * vs - oy)
-                            * inv_y)
-            tnz = jnp.where(dz == 0.0, _INF,
-                            (bminz + (lz + fz).astype(jnp.float32) * vs - oz)
-                            * inv_z)
-            tmin = jnp.minimum(tnx, jnp.minimum(tny, tnz))
-            stx = act & (tnx == tmin)
-            sty = act & (~stx) & (tny == tmin)
-            stz = act & ~(stx | sty)
-            lx = lx + jnp.where(stx, sx, 0)
-            ly = ly + jnp.where(sty, sy, 0)
-            lz = lz + jnp.where(stz, sz, 0)
-            inb = ((lx >= 0) & (lx < BRICK) & (ly >= 0) & (ly < BRICK)
-                   & (lz >= 0) & (lz < BRICK))
-            act = act & inb & (tmin <= t_hi)
-            return (lx, ly, lz, best_t, best_lin,
-                    act.astype(jnp.int32), step + 1)
+            words = [words_ref[s, k] for k in range(16)]
 
-        init = (lx, ly, lz,
-                jnp.full((bq, LANES), _INF, jnp.float32),
-                jnp.full((bq, LANES), -1, jnp.int32),
-                valid.astype(jnp.int32), jnp.int32(0))
+            def body(state):
+                lx, ly, lz, best_t, best_lin, act_i, step = state
+                act = act_i != 0
+                lin_local = lx + BRICK * (ly + BRICK * lz)
+                wsel = lin_local >> 5
+                word = jnp.zeros(lin_local.shape, jnp.uint32)
+                for k in range(16):
+                    word = jnp.where(wsel == k, words[k], word)
+                occ = ((word >> (lin_local & 31).astype(jnp.uint32)) & 1) \
+                    > 0
 
-        def cond(state):
-            # one scalar check per unrolled chunk; fully-dead blocks
-            # (sky tiles, already-resolved rays) exit immediately
-            return jnp.logical_and(state[6] < max_steps,
-                                   jnp.any(state[5] != 0))
+                gx = bcx * BRICK + lx
+                gy = bcy * BRICK + ly
+                gz = bcz * BRICK + lz
+                in_dims = (gx < nx) & (gy < ny) & (gz < nz)
 
-        if jax.default_backend() == "tpu":
-            unroll = 13  # two chunks cover the 25-step worst case
+                # reference cell AABB slab test (raytrace.rint:46-56)
+                ccx = ogx + (gx.astype(jnp.float32) + 0.5) * vs
+                ccy = ogy + (gy.astype(jnp.float32) + 0.5) * vs
+                ccz = ogz + (gz.astype(jnp.float32) + 0.5) * vs
+                tb = inv_x * ((ccx - half) - ox)
+                tt = inv_x * ((ccx + half) - ox)
+                t0 = jnp.minimum(tb, tt)
+                t1 = jnp.maximum(tb, tt)
+                tb = inv_y * ((ccy - half) - oy)
+                tt = inv_y * ((ccy + half) - oy)
+                t0 = jnp.maximum(t0, jnp.minimum(tb, tt))
+                t1 = jnp.minimum(t1, jnp.maximum(tb, tt))
+                tb = inv_z * ((ccz - half) - oz)
+                tt = inv_z * ((ccz + half) - oz)
+                t0 = jnp.maximum(t0, jnp.minimum(tb, tt))
+                t1 = jnp.minimum(t1, jnp.maximum(tb, tt))
+                accept = (t1 > jnp.maximum(t0, 0.0)) & (t0 > 0.0) \
+                    & (t0 >= t_lo) & (t0 <= t_hi)
 
-            def chunk(state):
-                for _ in range(unroll):
-                    state = body(state)
-                return state
+                hit = act & occ & accept & in_dims
+                best_t = jnp.where(hit, t0, best_t)
+                best_lin = jnp.where(hit, gx + nx * (gy + ny * gz),
+                                     best_lin)
+                act = act & ~hit
 
-            state = jax.lax.while_loop(cond, chunk, init)
-        else:
-            # interpret mode: plain early-exit while keeps CPU tests fast
-            state = jax.lax.while_loop(cond, body, init)
-        _, _, _, best_t, best_lin, _, _ = state
+                # step to the next cell in the brick
+                tnx = jnp.where(
+                    dx == 0.0, _INF,
+                    (bminx + (lx + fx).astype(jnp.float32) * vs - ox)
+                    * inv_x)
+                tny = jnp.where(
+                    dy == 0.0, _INF,
+                    (bminy + (ly + fy).astype(jnp.float32) * vs - oy)
+                    * inv_y)
+                tnz = jnp.where(
+                    dz == 0.0, _INF,
+                    (bminz + (lz + fz).astype(jnp.float32) * vs - oz)
+                    * inv_z)
+                tmin = jnp.minimum(tnx, jnp.minimum(tny, tnz))
+                stx = act & (tnx == tmin)
+                sty = act & (~stx) & (tny == tmin)
+                stz = act & ~(stx | sty)
+                lx = lx + jnp.where(stx, sx, 0)
+                ly = ly + jnp.where(sty, sy, 0)
+                lz = lz + jnp.where(stz, sz, 0)
+                inb = ((lx >= 0) & (lx < BRICK) & (ly >= 0) & (ly < BRICK)
+                       & (lz >= 0) & (lz < BRICK))
+                act = act & inb & (tmin <= t_hi)
+                return (lx, ly, lz, best_t, best_lin,
+                        act.astype(jnp.int32), step + 1)
+
+            init = (lx, ly, lz, best_t, best_lin,
+                    valid.astype(jnp.int32), jnp.int32(0))
+
+            def cond(state):
+                # one scalar check per unrolled chunk; fully-dead blocks
+                # (sky tiles, already-resolved rays) exit immediately
+                return jnp.logical_and(state[6] < max_steps,
+                                       jnp.any(state[5] != 0))
+
+            if jax.default_backend() == "tpu":
+                unroll = 13  # two chunks cover the 25-step worst case
+
+                def chunk(state):
+                    for _ in range(unroll):
+                        state = body(state)
+                    return state
+
+                state = jax.lax.while_loop(cond, chunk, init)
+            else:
+                # interpret mode: plain early-exit while keeps CPU tests
+                # fast
+                state = jax.lax.while_loop(cond, body, init)
+            _, _, _, best_t, best_lin, _, _ = state
+            if any_hit and s + 1 < k_slots:
+                # any-hit callers only need "did something accept":
+                # remaining slots run only for still-unresolved lanes,
+                # which the `valid` mask above already handles
+                pass
         t_ref[:] = best_t
         lin_ref[:] = best_lin
 
@@ -188,17 +209,23 @@ def _make_kernel(dims, bdims, origin, voxel_size, bq):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dims", "bdims", "origin_key", "voxel_size", "bq"),
+    static_argnames=("dims", "bdims", "origin_key", "voxel_size", "bq",
+                     "any_hit"),
 )
-def fine_walk(ox, oy, oz, dx, dy, dz, brick, words, t_min, t_max, *,
-              dims, bdims, origin_key, voxel_size, bq=64):
-    """Resolve each ray inside its hit brick.
+def fine_walk_multi(ox, oy, oz, dx, dy, dz, bricks, words, t_min, t_max, *,
+                    dims, bdims, origin_key, voxel_size, bq=64,
+                    any_hit=False):
+    """Resolve each ray against its K candidate bricks in ray order.
 
-    words: (16, N) uint32 pre-gathered brick occupancy (word-major so
-    every gather/reshape stays in a compact TPU layout); brick: (N,) int32
-    (-1 = no brick).  t_min: (N,) or scalar; t_max: (N,).
-    Returns (t (N,) f32 with +inf miss, cell_lin (N,) int32 with -1).
+    bricks: (K, N) int32 brick ids (-1 = no brick); words: (K, 16, N)
+    uint32 pre-gathered brick occupancy (word-major per slot — every
+    gather/reshape stays in a compact TPU layout).  t_min: (N,) or
+    scalar; t_max: (N,).  Returns (t (N,) f32 with +inf miss, cell_lin
+    (N,) int32 with -1) — the first accepted cell across slots in ray
+    order (identical contract to running fine_walk per slot and keeping
+    the first finite result).
     """
+    k = bricks.shape[0]
     n = ox.shape[0]
     per_block = bq * LANES
     n_blocks = max(1, -(-n // per_block))
@@ -209,16 +236,22 @@ def fine_walk(ox, oy, oz, dx, dy, dz, brick, words, t_min, t_max, *,
         return x.reshape(n_blocks * bq, LANES)
 
     t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
-    # words: (16, N) -> (16, blocks*bq, 128); no transpose needed
-    w = jnp.pad(words, ((0, 0), (0, pad)))
-    w = w.reshape(16, n_blocks * bq, LANES)
+    bk = jnp.pad(bricks, ((0, 0), (0, pad)), constant_values=-1)
+    bk = bk.reshape(k, n_blocks * bq, LANES)
+    w = jnp.pad(words, ((0, 0), (0, 0), (0, pad)))
+    w = w.reshape(k, 16, n_blocks * bq, LANES)
 
-    kernel = _make_kernel(dims, bdims, origin_key, voxel_size, bq)
+    kernel = _make_kernel(dims, bdims, origin_key, voxel_size, bq, k,
+                          any_hit)
     grid_spec = pl.GridSpec(
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec((bq, LANES), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)] * 9
-        + [pl.BlockSpec((16, bq, LANES), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM)] * 6
+        + [pl.BlockSpec((k, bq, LANES), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((bq, LANES), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)] * 2
+        + [pl.BlockSpec((k, 16, bq, LANES), lambda i: (0, 0, i, 0),
                         memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec((bq, LANES), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)] * 2,
@@ -233,6 +266,18 @@ def fine_walk(ox, oy, oz, dx, dy, dz, brick, words, t_min, t_max, *,
         interpret=jax.default_backend() != "tpu",
     )(prep(ox), prep(oy), prep(oz),
       prep(dx, 1.0), prep(dy, 1.0), prep(dz, 1.0),
-      prep(brick, -1), prep(t_min_b), prep(t_max),
+      bk, prep(t_min_b), prep(t_max),
       w)
     return t.reshape(-1)[:n], lin.reshape(-1)[:n]
+
+
+def fine_walk(ox, oy, oz, dx, dy, dz, brick, words, t_min, t_max, *,
+              dims, bdims, origin_key, voxel_size, bq=64):
+    """Single-slot compatibility wrapper over fine_walk_multi.
+
+    brick: (N,) int32 (-1 = no brick); words: (16, N) uint32.
+    """
+    return fine_walk_multi(
+        ox, oy, oz, dx, dy, dz, brick[None], words[None], t_min, t_max,
+        dims=dims, bdims=bdims, origin_key=origin_key,
+        voxel_size=voxel_size, bq=bq)

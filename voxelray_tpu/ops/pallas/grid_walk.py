@@ -17,6 +17,17 @@ This is the TPU-native replacement for the driver's TLAS traversal
     finds candidate bricks.
   * The walk is resumable: output = (hit brick, post-hit walk state), so
     rays whose brick contained no accepted voxel continue next round.
+  * TWO-LEVEL walk (round-2): for big grids the brick mux is wide (a
+    512^3 grid is a 29..64-row table = 29..64 lane-gathers per step, the
+    round-1 bottleneck).  An L2 bitmask over 8^3-brick SUPERBRICKS (<= 1
+    row for grids to 1024^3) lets the kernel alternate two inner loops:
+    an A-phase that skips whole empty superbricks with only the 1-row L2
+    mux, and a B-phase that does the exact brick DDA + wide L1 mux only
+    while inside occupied superbricks.  The A-phase skip lands
+    CONSERVATIVELY (floor clamped inside the current — empty —
+    superbrick, then one exact integer DDA step crosses the boundary),
+    so float slop can only waste a step, never skip an occupied brick:
+    hit order stays bit-identical to the single-level walk.
 
 The kernel carries only (cell, active) per ray: crossing times are
 recomputed from the ray each step (3 fma + compares — cheaper than
@@ -176,12 +187,187 @@ def _make_kernel(bdims, origin, brick_world, max_steps, bq, k_hits):
     return kernel
 
 
+def _make_kernel_2l(bdims, origin, brick_world, max_steps, bq, k_hits):
+    """Two-level walk: superbrick skip loop (A) + brick DDA loop (B)."""
+    bx, by, bz = bdims
+    sbx, sby, sbz = -(-bx // 8), -(-by // 8), -(-bz // 8)
+    ogx, ogy, ogz = (np.float32(origin[0]), np.float32(origin[1]),
+                     np.float32(origin[2]))
+    bw = np.float32(brick_world)
+    sw = np.float32(8.0) * bw
+
+    def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               cx_ref, cy_ref, cz_ref, act_ref, tmax_ref, table_ref,
+               l2_ref, hit_ref, ocx_ref, ocy_ref, ocz_ref, ocont_ref):
+        rows_bc = hoist_rows(table_ref, bq)
+        l2_bc = hoist_rows(l2_ref, bq)
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        tmax = tmax_ref[:]
+        inv_x = 1.0 / dx
+        inv_y = 1.0 / dy
+        inv_z = 1.0 / dz
+        sx = jnp.where(dx >= 0, 1, -1).astype(jnp.int32)
+        sy = jnp.where(dy >= 0, 1, -1).astype(jnp.int32)
+        sz = jnp.where(dz >= 0, 1, -1).astype(jnp.int32)
+        fx = (sx > 0).astype(jnp.int32)
+        fy = (sy > 0).astype(jnp.int32)
+        fz = (sz > 0).astype(jnp.int32)
+
+        def l2_occ(cx, cy, cz):
+            """Occupancy of the superbrick containing brick (cx,cy,cz).
+            OOB coords produce no row match -> 0 (safe)."""
+            lin = (cx >> 3) + sbx * ((cy >> 3) + sby * (cz >> 3))
+            word = mux_lookup(l2_ref, lin >> 5, bq, l2_bc)
+            return ((word >> (lin & 31).astype(jnp.uint32)) & 1) > 0
+
+        def next_t(cx, cy, cz):
+            tx = (ogx + (cx + fx).astype(jnp.float32) * bw - ox) * inv_x
+            ty = (ogy + (cy + fy).astype(jnp.float32) * bw - oy) * inv_y
+            tz = (ogz + (cz + fz).astype(jnp.float32) * bw - oz) * inv_z
+            tx = jnp.where(dx == 0.0, _INF, tx)
+            ty = jnp.where(dy == 0.0, _INF, ty)
+            tz = jnp.where(dz == 0.0, _INF, tz)
+            return tx, ty, tz
+
+        def brick_step(cx, cy, cz, move):
+            """One exact integer DDA step for `move` lanes; returns new
+            coords, crossing t, and in-bounds mask."""
+            tx, ty, tz = next_t(cx, cy, cz)
+            tmin = jnp.minimum(tx, jnp.minimum(ty, tz))
+            stepx = move & (tx == tmin)
+            stepy = move & (~stepx) & (ty == tmin)
+            stepz = move & ~(stepx | stepy)
+            cx = cx + jnp.where(stepx, sx, 0)
+            cy = cy + jnp.where(stepy, sy, 0)
+            cz = cz + jnp.where(stepz, sz, 0)
+            inb = ((cx >= 0) & (cx < bx) & (cy >= 0) & (cy < by)
+                   & (cz >= 0) & (cz < bz))
+            return cx, cy, cz, tmin, inb
+
+        # ---- phase A: skip whole empty superbricks -----------------------
+        def a_body(state):
+            cx, cy, cz, act_i, awork_i, hits, nhit, step = state
+            act = act_i != 0
+            skip = awork_i != 0
+            # skip lanes: land on the LAST brick the ray touches inside
+            # the current (empty) superbrick.  floor is clamped into the
+            # superbrick, so float slop can only under-shoot — the exact
+            # DDA step below does the boundary crossing, preserving the
+            # single-level walk's brick visit order bit-for-bit.
+            scx, scy, scz = cx >> 3, cy >> 3, cz >> 3
+            tx = (ogx + ((scx + fx) * 8).astype(jnp.float32) * bw - ox) \
+                * inv_x
+            ty = (ogy + ((scy + fy) * 8).astype(jnp.float32) * bw - oy) \
+                * inv_y
+            tz = (ogz + ((scz + fz) * 8).astype(jnp.float32) * bw - oz) \
+                * inv_z
+            tx = jnp.where(dx == 0.0, _INF, tx)
+            ty = jnp.where(dy == 0.0, _INF, ty)
+            tz = jnp.where(dz == 0.0, _INF, tz)
+            t_ex = jnp.minimum(tx, jnp.minimum(ty, tz))
+            lx = jnp.floor((ox + dx * t_ex - ogx) / bw).astype(jnp.int32)
+            ly = jnp.floor((oy + dy * t_ex - ogy) / bw).astype(jnp.int32)
+            lz = jnp.floor((oz + dz * t_ex - ogz) / bw).astype(jnp.int32)
+            lx = jnp.clip(lx, scx * 8, scx * 8 + 7)
+            ly = jnp.clip(ly, scy * 8, scy * 8 + 7)
+            lz = jnp.clip(lz, scz * 8, scz * 8 + 7)
+            cx = jnp.where(skip, lx, cx)
+            cy = jnp.where(skip, ly, cy)
+            cz = jnp.where(skip, lz, cz)
+            # one exact brick step crosses the superbrick boundary
+            cx, cy, cz, tmin, inb = brick_step(cx, cy, cz, skip)
+            alive = jnp.where(skip, inb & (tmin <= tmax), act)
+            act = act & alive
+            awork = act & ~l2_occ(cx, cy, cz)
+            return (cx, cy, cz, act.astype(jnp.int32),
+                    awork.astype(jnp.int32), hits, nhit, step + 1)
+
+        # ---- phase B: exact brick DDA inside occupied superbricks --------
+        def b_body(state):
+            cx, cy, cz, act_i, bwork_i, hits, nhit, step = state
+            act = act_i != 0
+            bwork = bwork_i != 0
+            lin = cx + bx * (cy + by * cz)
+            word = mux_lookup(table_ref, lin >> 5, bq, rows_bc)
+            occ = ((word >> (lin & 31).astype(jnp.uint32)) & 1) > 0
+            hit_now = bwork & occ
+            hits = tuple(
+                jnp.where(hit_now & (nhit == s), lin, hits[s])
+                for s in range(k_hits)
+            )
+            nhit = nhit + hit_now.astype(jnp.int32)
+            full = nhit >= k_hits
+            cx, cy, cz, tmin, inb = brick_step(cx, cy, cz, bwork)
+            alive = jnp.where(bwork, inb & (tmin <= tmax) & ~full, act)
+            act = act & alive
+            bwork = act & l2_occ(cx, cy, cz)
+            return (cx, cy, cz, act.astype(jnp.int32),
+                    bwork.astype(jnp.int32), hits, nhit, step + 1)
+
+        unroll_a = 8 if jax.default_backend() == "tpu" else 1
+        unroll_b = UNROLL if jax.default_backend() == "tpu" else 1
+
+        def unrolled(body, n):
+            def run(state):
+                for _ in range(n):
+                    state = body(state)
+                return state
+            return run
+
+        def inner_cond(state):
+            return jnp.logical_and(state[7] < max_steps,
+                                   jnp.any(state[4] != 0))
+
+        def outer_body(state):
+            cx, cy, cz, act_i, _, hits, nhit, step = state
+            awork = (act_i != 0) & ~l2_occ(cx, cy, cz)
+            state = (cx, cy, cz, act_i, awork.astype(jnp.int32), hits,
+                     nhit, step)
+            state = jax.lax.while_loop(inner_cond, unrolled(a_body,
+                                                            unroll_a),
+                                       state)
+            cx, cy, cz, act_i, _, hits, nhit, step = state
+            bwork = (act_i != 0) & l2_occ(cx, cy, cz)
+            state = (cx, cy, cz, act_i, bwork.astype(jnp.int32), hits,
+                     nhit, step)
+            state = jax.lax.while_loop(inner_cond, unrolled(b_body,
+                                                            unroll_b),
+                                       state)
+            return state
+
+        def outer_cond(state):
+            return jnp.logical_and(state[7] < max_steps,
+                                   jnp.any(state[3] != 0))
+
+        init = (cx_ref[:], cy_ref[:], cz_ref[:],
+                (act_ref[:] != 0).astype(jnp.int32),
+                jnp.zeros((bq, LANES), jnp.int32),
+                tuple(jnp.full((bq, LANES), -1, jnp.int32)
+                      for _ in range(k_hits)),
+                jnp.zeros((bq, LANES), jnp.int32), jnp.int32(0))
+        cx, cy, cz, act_i, _, hits, nhit, _ = jax.lax.while_loop(
+            outer_cond, outer_body, init)
+        for s in range(k_hits):
+            hit_ref[s] = hits[s]
+        ocx_ref[:] = cx
+        ocy_ref[:] = cy
+        ocz_ref[:] = cz
+        inb = ((cx >= 0) & (cx < bx) & (cy >= 0) & (cy < by)
+               & (cz >= 0) & (cz < bz))
+        ocont_ref[:] = (inb & ((act_i != 0) | (nhit >= k_hits))) \
+            .astype(jnp.int32)
+
+    return kernel
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("bdims", "origin_key", "brick_world", "bq", "k_hits"),
 )
-def coarse_walk(ox, oy, oz, dx, dy, dz, cx, cy, cz, active, tmax, table, *,
-                bdims, origin_key, brick_world, bq=64, k_hits=1):
+def coarse_walk(ox, oy, oz, dx, dy, dz, cx, cy, cz, active, tmax, table,
+                l2=None, *, bdims, origin_key, brick_world, bq=64,
+                k_hits=1):
     """Walk all rays to their next k_hits occupied bricks.
 
     All ray/state arrays are (N,) and get padded/reshaped to (blocks, BQ,
@@ -203,20 +389,34 @@ def coarse_walk(ox, oy, oz, dx, dy, dz, cx, cy, cz, active, tmax, table, *,
 
     bx, by, bz = bdims
     max_steps = bx + by + bz + 3
-    kernel = _make_kernel(bdims, origin_key, brick_world, max_steps, bq,
-                          k_hits)
+    if l2 is None:
+        kernel = _make_kernel(bdims, origin_key, brick_world, max_steps,
+                              bq, k_hits)
+    else:
+        kernel = _make_kernel_2l(bdims, origin_key, brick_world,
+                                 max_steps, bq, k_hits)
 
     out_shapes = [
         jax.ShapeDtypeStruct((k_hits, n_blocks * bq, LANES), jnp.int32),
     ] + [jax.ShapeDtypeStruct((n_blocks * bq, LANES), jnp.int32)
          for _ in range(4)]
 
+    table_specs = [pl.BlockSpec(table.shape, lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)]
+    operands = [prep(ox), prep(oy), prep(oz),
+                prep(dx, 1.0), prep(dy, 1.0), prep(dz, 1.0),
+                prep(cx), prep(cy), prep(cz), prep(active), prep(tmax),
+                table]
+    if l2 is not None:
+        table_specs.append(pl.BlockSpec(l2.shape, lambda i: (0, 0),
+                                        memory_space=pltpu.VMEM))
+        operands.append(l2)
+
     grid_spec = pl.GridSpec(
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec((bq, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)] * 11
-        + [pl.BlockSpec(table.shape, lambda i: (0, 0),
-                        memory_space=pltpu.VMEM)],
+        + table_specs,
         out_specs=[pl.BlockSpec((k_hits, bq, LANES), lambda i: (0, i, 0),
                                 memory_space=pltpu.VMEM)]
         + [pl.BlockSpec((bq, LANES), lambda i: (i, 0),
@@ -228,10 +428,7 @@ def coarse_walk(ox, oy, oz, dx, dy, dz, cx, cy, cz, active, tmax, table, *,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=jax.default_backend() != "tpu",
-    )(prep(ox), prep(oy), prep(oz),
-      prep(dx, 1.0), prep(dy, 1.0), prep(dz, 1.0),
-      prep(cx), prep(cy), prep(cz), prep(active), prep(tmax),
-      table)
+    )(*operands)
 
     unpad = lambda x: x.reshape(-1)[:n]
     hitk = hit.reshape(k_hits, -1)[:, :n]

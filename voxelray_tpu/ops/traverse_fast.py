@@ -1,23 +1,34 @@
-"""Accelerated grid traversal: Pallas brick walk + dense fine resolve.
+"""Accelerated grid traversal: Pallas brick walk + fused in-brick DDA.
 
 Pipeline per ray batch (trace_grid_fast):
 
   1. init: clip rays to the grid bounds, seed the brick-level DDA state
-  2. rounds (static python loop under jit): Pallas coarse_walk finds each
-     ray's next K=4 occupied 8^3 bricks (VMEM mux-gather DDA), then the
-     Pallas in-brick DDA (brick_fine.fine_walk) resolves each candidate
-     brick in ray order using the reference float expressions
-     (raytrace.rint:46-56 + report/interval rules).  Straggler rays are
-     cumsum-compacted into n/4 then n/16 buffers for later rounds.  A
-     dense 512-cell resolve (fine="dense") remains as the semantic
-     reference implementation.
+  2. rounds (static python loop under jit): the Pallas coarse_walk finds
+     each resident ray's next K=4 occupied 8^3 bricks (VMEM mux-gather
+     DDA).  Rays that found at least one candidate brick are
+     cumsum-compacted into a buffer of N/4 capacity; ONE HBM gather pulls
+     all K bricks' occupancy words for the compacted rays, and ONE fused
+     Pallas kernel (brick_fine.fine_walk_multi) resolves the K candidates
+     in ray order.  Rays that overflow the fine buffer rewind their walk
+     state to their first candidate brick and retry next round — never
+     dropped, never wrong, just late.  Straggler rays are compacted into
+     n/4 then n/16 resident buffers for later rounds.
   3. output (t, cell_lin) — the same contract (and bit-parity class) as
      ops.traverse.trace_grid_dda.
 
-The accel structure (BrickAccel) is precomputed once per grid: pad dims to
-multiples of 8, brick-occupancy words in the (ROWS, 128) layout the kernel
-muxes over, and per-brick packed fine words stored word-major (16, NB) so
-the fine-stage gather is one compact take(axis=1).
+Round-1 measurement that forced this shape: only ~12% of 1080p rays have
+any candidate brick after the coarse walk, yet the old per-slot fine
+stage gathered + walked all N rays x 4 slots — compaction plus slot
+fusion removes ~90% of the fine-stage HBM traffic (the bench floor).
+
+An optional `admit` mask starts only selected rays (shadow rays exist
+only for lit, facing pixels) with a compacted round-1 resident buffer —
+the pipeline-level shadow compaction of VERDICT item 7.
+
+The accel structure (BrickAccel) is precomputed once per grid: pad dims
+to multiples of 8, brick-occupancy words in the (ROWS, 128) layout the
+kernel muxes over, and per-brick packed fine words stored word-major
+(16, NB) so the fine-stage gather is one compact take(axis=1).
 """
 from __future__ import annotations
 
@@ -46,6 +57,9 @@ class BrickAccel:
                                     # (transposed: row k = word k of every
                                     # brick — compact TPU layout for the
                                     # per-column gathers in the fine stage)
+    l2: Any                         # uint32[SROWS, 128] superbrick (8^3
+                                    # bricks) bitmask for the two-level
+                                    # walk
     origin: Any                     # float32[3]
     dims: tuple = field(metadata=dict(static=True))     # voxel dims X,Y,Z
     bdims: tuple = field(metadata=dict(static=True))    # brick dims
@@ -82,9 +96,24 @@ def build_accel(occ, origin, voxel_size) -> BrickAccel:
     fine = (cell_bits.reshape(n_bricks, 16, 32) << shifts).sum(
         axis=-1, dtype=jnp.uint32).transpose(1, 0)
 
+    # L2 superbrick bitmask (8^3 bricks per superbrick): lets the coarse
+    # walk skip empty space with a 1-row mux instead of the wide L1 mux
+    sbx, sby, sbz = -(-bx // 8), -(-by // 8), -(-bz // 8)
+    spz, spy, spx = sbz * 8 - bz, sby * 8 - by, sbx * 8 - bx
+    boccp = jnp.pad(bocc, ((0, spz), (0, spy), (0, spx)))
+    socc = boccp.reshape(sbz, 8, sby, 8, sbx, 8).transpose(0, 2, 4, 1, 3, 5) \
+        .reshape(sbz, sby, sbx, -1).max(axis=-1)
+    n_sup = sbx * sby * sbz
+    s_words = -(-n_sup // 32)
+    s_rows = max(1, -(-s_words // LANES))
+    sflat = jnp.zeros((s_rows * LANES * 32,), jnp.uint32) \
+        .at[: n_sup].set(socc.reshape(-1).astype(jnp.uint32))
+    l2 = (sflat.reshape(-1, 32) << shifts).sum(axis=1, dtype=jnp.uint32) \
+        .reshape(s_rows, LANES)
+
     origin = np.asarray(origin, np.float32)
     return BrickAccel(
-        coarse=coarse, fine=fine, origin=jnp.asarray(origin),
+        coarse=coarse, fine=fine, l2=l2, origin=jnp.asarray(origin),
         dims=(nx, ny, nz), bdims=(bx, by, bz),
         voxel_size=float(voxel_size),
         origin_key=(float(origin[0]), float(origin[1]), float(origin[2])),
@@ -116,7 +145,9 @@ def _fine_resolve(o, d, brick_lin, accel, t_min, t_max, chunk=32768):
     """Dense 512-cell slab resolve inside each ray's hit brick, chunked
     over rays to bound the (chunk, 512) intermediates.
 
-    Returns (t, cell_lin) with t = +inf where no accepted cell.
+    Semantic reference implementation for the Pallas fine walk (kept as
+    fine="dense"; tests pin parity).  Returns (t, cell_lin) with
+    t = +inf where no accepted cell.
     """
     n = o.shape[0]
     if n > chunk:
@@ -196,17 +227,27 @@ def _fine_resolve_block(o, d, brick_lin, t_max, accel, t_min):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("accel_static", "rounds", "chunk", "fine"),
+    static_argnames=("accel_static", "rounds", "chunk", "fine", "k_hits",
+                     "fine_frac", "admit_frac", "two_level"),
 )
-def _trace_fast_impl(o, d, accel, t_min, t_max, *, accel_static, rounds,
-                     chunk, fine="walk"):
-    cx, cy, cz, active = _init_state(o, d, accel, t_max)
+def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
+                     rounds, chunk, fine="walk", k_hits=4, fine_frac=4,
+                     admit_frac=4, two_level=None):
     n = o.shape[0]
+    cx, cy, cz, active = _init_state(o, d, accel, t_max)
+    if admit is not None:
+        active = active & admit
     best_t = jnp.full((n,), jnp.inf, jnp.float32)
     best_lin = jnp.full((n,), -1, jnp.int32)
 
     bdims, origin_key, vs, accel_static_dims = accel_static
+    bx, by, _bz = bdims
     bw = float(vs * BRICK)
+    per_block = chunk * LANES
+
+    def cap_up(c):
+        """Round a capacity up to whole kernel blocks."""
+        return max(per_block, -(-c // per_block) * per_block)
 
     # Rounds as a STATIC python loop (unrolled straight-line code under
     # jit).  Measured hard lesson: HBM gathers inside lax.while/scan
@@ -214,55 +255,101 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, *, accel_static, rounds,
     # straight-line code, so a data-dependent early-exit rounds loop is a
     # net catastrophe.
 
-    def one_round(ox, oy, oz, dx, dy, dz, cx, cy, cz, act, tmx,
-                  k_hits=4):
+    # two-level walk pays once the L1 mux is wide (static decision: the
+    # table row count is a trace-time shape)
+    use_l2 = (accel.coarse.shape[0] > 4 if two_level is None
+              else two_level)
+
+    def one_round(ox, oy, oz, dx, dy, dz, rcx, rcy, rcz, act, tmn, tmx):
+        m = ox.shape[0]
         hits, ncx, ncy, ncz, cont = coarse_walk(
-            ox, oy, oz, dx, dy, dz, cx, cy, cz,
+            ox, oy, oz, dx, dy, dz, rcx, rcy, rcz,
             act.astype(jnp.int32), tmx, accel.coarse,
+            accel.l2 if use_l2 else None,
             bdims=bdims, origin_key=origin_key, brick_world=bw,
             bq=chunk, k_hits=k_hits)
-        nloc = ox.shape[0]
-        t = jnp.full((nloc,), jnp.inf, jnp.float32)
-        lin = jnp.full((nloc,), -1, jnp.int32)
-        # resolve the k candidate bricks in ray order; a ray goes dead in
-        # the fine kernel as soon as an earlier slot resolved it
-        for s in range(k_hits):
-            hit_s = jnp.where(jnp.isfinite(t), -1, hits[s])
-            if fine == "walk":
-                from .pallas.brick_fine import fine_walk
-                bl = jnp.maximum(hit_s, 0)
-                # one gather along axis 1 of the (16, NB) table -> (16, N)
-                words = jnp.take(accel.fine, bl, axis=1)
-                t_s, lin_s = fine_walk(
-                    ox, oy, oz, dx, dy, dz, hit_s, words, t_min, tmx,
-                    dims=accel_static_dims, bdims=bdims,
-                    origin_key=origin_key, voxel_size=vs, bq=chunk)
-            else:
+
+        if fine == "dense":
+            # reference path: per-slot dense 512-cell resolve, no
+            # compaction
+            t = jnp.full((m,), jnp.inf, jnp.float32)
+            lin = jnp.full((m,), -1, jnp.int32)
+            for s in range(k_hits):
+                hit_s = jnp.where(jnp.isfinite(t), -1, hits[s])
                 t_s, lin_s = _fine_resolve(
                     jnp.stack([ox, oy, oz], axis=-1),
                     jnp.stack([dx, dy, dz], axis=-1), hit_s, accel,
-                    t_min, tmx)
-            got = jnp.isfinite(t_s) & ~jnp.isfinite(t)
-            t = jnp.where(got, t_s, t)
-            lin = jnp.where(got, lin_s, lin)
+                    tmn, tmx)
+                got = jnp.isfinite(t_s) & ~jnp.isfinite(t)
+                t = jnp.where(got, t_s, t)
+                lin = jnp.where(got, lin_s, lin)
+            return t, lin, ncx, ncy, ncz, cont
+
+        from .pallas.brick_fine import fine_walk_multi
+
+        has = hits[0] >= 0
+        fcap = cap_up(-(-m // fine_frac)) if fine_frac > 1 else m
+        if fcap < m:
+            # compact rays with >= 1 candidate brick before the gather:
+            # measured, only ~12% of primary rays have one
+            pos = jnp.cumsum(has.astype(jnp.int32)) - 1
+            fslot = jnp.where(has & (pos < fcap), pos, fcap)
+            fsel = jnp.full((fcap,), m, jnp.int32).at[fslot].set(
+                jnp.arange(m, dtype=jnp.int32), mode="drop")
+            flive = fsel < m
+            fsel_c = jnp.minimum(fsel, m - 1)
+            ovf = has & (pos >= fcap)
+        else:
+            fcap = m
+            fsel = fsel_c = jnp.arange(m, dtype=jnp.int32)
+            flive = has
+            ovf = jnp.zeros((m,), bool)
+
+        bricks_c = jnp.stack(
+            [jnp.where(flive, hits[s][fsel_c], -1) for s in range(k_hits)])
+        # ONE gather for all k slots: (16, k*fcap) -> (k, 16, fcap)
+        bl = jnp.maximum(bricks_c, 0).reshape(-1)
+        words = jnp.take(accel.fine, bl.reshape(k_hits, fcap)
+                         .reshape(-1), axis=1)
+        words = words.reshape(16, k_hits, fcap).transpose(1, 0, 2)
+        t_c, lin_c = fine_walk_multi(
+            ox[fsel_c], oy[fsel_c], oz[fsel_c],
+            dx[fsel_c], dy[fsel_c], dz[fsel_c],
+            bricks_c, words, tmn, tmx[fsel_c],
+            dims=accel_static_dims, bdims=bdims, origin_key=origin_key,
+            voxel_size=vs, bq=chunk)
+
+        if fcap < m:
+            t = jnp.full((m,), jnp.inf, jnp.float32).at[fsel].set(
+                t_c, mode="drop")
+            lin = jnp.full((m,), -1, jnp.int32).at[fsel].set(
+                lin_c, mode="drop")
+            # overflow rays rewind to their first candidate brick and
+            # retry next round (the coarse walk re-finds the same bricks
+            # immediately — never dropped, never wrong, just late)
+            h0 = jnp.maximum(hits[0], 0)
+            ncx = jnp.where(ovf, h0 % bx, ncx)
+            ncy = jnp.where(ovf, (h0 // bx) % by, ncy)
+            ncz = jnp.where(ovf, h0 // (bx * by), ncz)
+            cont = jnp.where(ovf, 1, cont)
+        else:
+            t = jnp.where(flive, t_c, jnp.inf)
+            lin = jnp.where(flive, lin_c, -1)
         return t, lin, ncx, ncy, ncz, cont
 
-    # round 1: all rays
-    t, lin, cx, cy, cz, cont = one_round(
-        o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-        cx, cy, cz, active, t_max)
-    resolved = jnp.isfinite(t)
-    best_t = jnp.where(resolved, t, best_t)
-    best_lin = jnp.where(resolved, lin, best_lin)
-    active = active & ~resolved & (cont > 0)
+    # per-round resident-buffer capacities: round 1 runs every admitted
+    # ray (or n/admit_frac of them when an admit mask pre-compacts, e.g.
+    # shadow rays); later rounds shrink to the straggler population
+    if admit is not None:
+        caps = [cap_up(-(-n // admit_frac))]
+    else:
+        caps = [n]
+    caps += [cap_up(-(-n // 4))] * 3 + [cap_up(-(-n // 16))] \
+        * max(0, rounds - 4)
 
-    # rounds 2+: compact the surviving rays into progressively smaller
-    # buffers (cumsum compaction; overflow rays simply wait a round)
-    min_cap = chunk * 128
-    caps = ([max(min_cap, -(-n // 4))] * 3
-            + [max(min_cap, -(-n // 16))] * max(0, rounds - 4))
-    if caps and caps[0] < n:
-        for cap in caps[: rounds - 1]:
+    for r in range(rounds):
+        cap = caps[r]
+        if cap < n:
             pos = jnp.cumsum(active.astype(jnp.int32)) - 1
             slot = jnp.where(active & (pos < cap), pos, cap)
             sel = jnp.full((cap,), n, jnp.int32).at[slot].set(
@@ -273,9 +360,9 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, *, accel_static, rounds,
                 o[sel_c, 0], o[sel_c, 1], o[sel_c, 2],
                 d[sel_c, 0], d[sel_c, 1], d[sel_c, 2],
                 cx[sel_c], cy[sel_c], cz[sel_c],
-                live & active[sel_c], t_max[sel_c])
-            # writes go through `sel` (empty slots hold the OOB index n and
-            # get dropped) — clamped duplicates would race on ray n-1
+                live & active[sel_c], t_min, t_max[sel_c])
+            # writes go through `sel` (empty slots hold the OOB index n
+            # and get dropped) — clamped duplicates would race on ray n-1
             got = jnp.isfinite(t) & live
             best_t = best_t.at[sel].set(
                 jnp.where(got, t, best_t[sel_c]), mode="drop")
@@ -286,11 +373,10 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, *, accel_static, rounds,
             cz = cz.at[sel].set(scz, mode="drop")
             new_act = active[sel_c] & ~got & (cont_s > 0) & live
             active = active.at[sel].set(new_act, mode="drop")
-    else:
-        for _ in range(rounds - 1):
+        else:
             t, lin, cx, cy, cz, cont = one_round(
                 o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-                cx, cy, cz, active, t_max)
+                cx, cy, cz, active, t_min, t_max)
             resolved = jnp.isfinite(t) & active
             best_t = jnp.where(resolved, t, best_t)
             best_lin = jnp.where(resolved, lin, best_lin)
@@ -298,30 +384,50 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, *, accel_static, rounds,
     return best_t, best_lin
 
 
+def _tuned_chunk(accel, chunk):
+    """Big coarse tables need small walk blocks so the hoisted mux rows
+    stay in vregs (rows * bq/8 vregs); 64-row tables (512^3 grids) run
+    at bq=32."""
+    rows = accel.coarse.shape[0]
+    if rows > 8:
+        return min(chunk, max(8, 2048 // rows // 8 * 8))
+    return chunk
+
+
 def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
-                    t_max=TMAX, rounds=6, chunk=64, fine="walk"):
-    """(t, cell_lin) nearest voxel hit; same contract as trace_grid_dda."""
+                    t_max=TMAX, rounds=6, chunk=64, fine="walk",
+                    admit=None, k_hits=4, two_level=None):
+    """(t, cell_lin) nearest voxel hit; same contract as trace_grid_dda.
+
+    admit: optional bool mask (batch shape) — only admitted rays trace
+    (others return miss); the round-1 resident buffer is then compacted
+    to n/4, which is the shadow-ray fast path.  two_level forces the
+    super-brick walk on/off (None = auto by table width).
+    """
     batch_shape = origins.shape[:-1]
     o = origins.reshape(-1, 3)
     d = dirs.reshape(-1, 3)
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
                                batch_shape).reshape(-1)
-    # big coarse tables need small walk blocks so the hoisted mux rows
-    # stay in vregs (rows * bq/8 vregs); 64-row tables (512^3 grids) run
-    # at bq=32
-    rows = accel.coarse.shape[0]
-    if rows > 8:
-        chunk = min(chunk, max(8, 2048 // rows // 8 * 8))
+    admit_f = None if admit is None else admit.reshape(-1)
     t, lin = _trace_fast_impl(
-        o, d, accel, jnp.float32(t_min), t_max_b,
+        o, d, accel, jnp.float32(t_min), t_max_b, admit_f,
         accel_static=(accel.bdims, accel.origin_key, accel.voxel_size,
                       accel.dims),
-        rounds=rounds, chunk=chunk, fine=fine)
+        rounds=rounds, chunk=_tuned_chunk(accel, chunk), fine=fine,
+        k_hits=k_hits, two_level=two_level)
     return t.reshape(batch_shape), lin.reshape(batch_shape)
 
 
 def any_hit_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
-                      t_max=TMAX, rounds=6, chunk=64, fine="walk"):
+                      t_max=TMAX, rounds=6, chunk=64, fine="walk",
+                      admit=None):
+    """True where some voxel accepts along the ray (shadow query).
+
+    k_hits=2 (not 4): an any-hit ray stops at its first accepted cell,
+    so deep candidate queues are wasted gather traffic.
+    """
     t, _ = trace_grid_fast(origins, dirs, accel, t_min=t_min, t_max=t_max,
-                           rounds=rounds, chunk=chunk, fine=fine)
+                           rounds=rounds, chunk=chunk, fine=fine,
+                           admit=admit, k_hits=2)
     return jnp.isfinite(t)
