@@ -7,10 +7,18 @@ vs_baseline is measured Mrays/s / 100 (the BASELINE.json north-star:
 >= 100 Mrays/s primary rays at 1920x1080 over a 512^3 grid).
 Detail timings go to stderr.
 
+Also runs an ON-CHIP parity gate (VERDICT round-1 item 3): a small scene
+is voxelized on device and compared bit-exactly against the native C++
+oracle, and a small frame is traced with the compiled Pallas backend
+("fast") against the dda and brute references (hits exact, t to 2e-6).
+Interpret-mode CPU tests can't see Mosaic compilation bugs; this can.
+The result ships in the JSON as "parity_ok".
+
 Env knobs:
   BENCH_PRESET=full|mid|small   scene scale (default full)
   BENCH_RUNS=N                  timed repetitions (default 5)
   BENCH_BACKEND=fast|dda|brute  traversal backend (default fast)
+  BENCH_SKIP_PARITY=1           skip the parity gate (debug only)
 """
 import json
 import os
@@ -20,6 +28,51 @@ import time
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def parity_gate():
+    """Small-scene cross-backend + oracle parity, on the live backend."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from voxelray_tpu.io import meshes
+    from voxelray_tpu.models.grids import GridBool
+    from voxelray_tpu.models.scene import build_scene
+    from voxelray_tpu.oracle import oracle_voxelize
+    from voxelray_tpu.render.camera import Camera
+    from voxelray_tpu.render.pipeline import render_aov
+
+    checks = {}
+    v, f = meshes.icosphere(3)
+    vs = 2.2 / 64
+    grid = GridBool.from_mesh(v, f, vs)  # voxelized on device
+    ref = oracle_voxelize(v, f, vs)      # trusted host transcription
+    occ_dev = np.asarray(grid.occupancy()).astype(bool)
+    checks["occupancy_bit_exact"] = bool(
+        np.array_equal(occ_dev, ref.occupancy))
+    checks["set_calls_match"] = bool(grid.set_calls == ref.set_calls)
+
+    scene = build_scene(models=None, grid=grid)
+    cam = Camera(eye=(2.1, 1.4, -2.2), center=(0.0, 0.0, 0.0))
+    outs = {}
+    for backend in ("fast", "dda", "brute"):
+        depth, normal, hit = render_aov(scene, cam, width=320, height=180,
+                                        backend=backend)
+        outs[backend] = (np.asarray(depth), np.asarray(hit))
+    dd, hd = outs["dda"]
+    for backend in ("fast", "brute"):
+        db, hb = outs[backend]
+        hit_eq = bool(np.array_equal(hb, hd))
+        both = hb & hd
+        t_ok = bool(np.allclose(db[both], dd[both], rtol=2e-6, atol=0.0)) \
+            if both.any() else True
+        checks[f"{backend}_hits_match_dda"] = hit_eq
+        checks[f"{backend}_t_match_dda"] = t_ok
+    checks["hit_pixels"] = int(hd.sum())
+    ok = all(bool(x) for k, x in checks.items() if k != "hit_pixels")
+    log(f"parity gate: {checks}")
+    return ok, checks
 
 
 def main():
@@ -36,8 +89,7 @@ def main():
     from voxelray_tpu.render.camera import Camera
     from voxelray_tpu.render.pipeline import render_image
     from voxelray_tpu.utils.timing import time_fn
-    from voxelray_tpu.ops.voxelize import (required_window_shape,
-                                           voxelize_dense)
+    from voxelray_tpu.ops.voxelize import plan_voxelize, voxelize_planned
     from voxelray_tpu.ops.geometry import grid_dims, mesh_bbox
 
     preset = os.environ.get("BENCH_PRESET", "full")
@@ -63,18 +115,18 @@ def main():
     dims = grid_dims(bb_min, bb_max, vs)
     log(f"mesh: {len(f)} tris, dims {dims}, voxel {vs:.5f}")
 
-    # ---- voxelize (timed; single-window jit path — the bucketed host
-    # wrapper pays per-call host work, wrong for per-frame re-voxelize) ---
-    # exact per-axis window (pow2 rounding would inflate the scatter
-    # slot count ~3x; per-mesh recompiles are fine here)
-    win = required_window_shape(v, f, bb_min, vs, dims)
-    tri = jnp.asarray(v[f])
-    org = jnp.asarray(bb_min)
+    # ---- voxelize (timed: device execution of a precomputed plan) ------
+    # the plan (bucketing by exact window shape) is host work done ONCE
+    # per topology — the per-frame re-voxelization model for deforming
+    # meshes; exact-shape buckets cut scatter slots ~10x vs one global
+    # max window (scatter is the measured bottleneck)
+    plan = plan_voxelize(v, f, vs, bb_min=bb_min, bb_max=bb_max)
+    log("plan buckets: " + ", ".join(
+        f"{win}x{len(fi)}" for win, fi in plan.buckets))
+    v_dev = jnp.asarray(v)
 
     def build():
-        occ, calls = voxelize_dense(
-            tri, org, dims=dims, voxel_size_static=float(vs), window=win,
-            chunk=16384)
+        occ, calls = voxelize_planned(plan, v_dev)
         return occ
 
     t_build, occ = time_fn(build, iters=max(1, runs // 2), warmup=1)
@@ -100,6 +152,12 @@ def main():
     log(f"render: {t_render*1e3:.1f} ms -> {mrays:.1f} Mrays/s "
         f"(img mean {img_np.mean():.3f})")
 
+    # ---- on-chip parity gate --------------------------------------------
+    if os.environ.get("BENCH_SKIP_PARITY"):
+        parity_ok, parity = None, {}
+    else:
+        parity_ok, parity = parity_gate()
+
     print(json.dumps({
         "metric": f"primary-ray Mrays/s @{width}x{height}, "
                   f"{grid_res}^3 grid, {len(f)} tris",
@@ -112,6 +170,8 @@ def main():
         "occupied_voxels": n_occ,
         "backend": backend,
         "preset": preset,
+        "parity_ok": parity_ok,
+        "parity": parity,
     }))
 
 

@@ -79,3 +79,44 @@ def test_window_shape_truncation_guard():
         dims=ref.dims, voxel_size_static=vs, window=(1, 1, 1), chunk=64,
     )
     assert np.asarray(occ).sum() <= ref.occupancy.sum()
+
+
+def test_window_scatter_matches_flat():
+    """scatter="window" (one lax.scatter_max block per triangle) must
+    produce the identical occupancy + set_calls as the flat scheme."""
+    import jax.numpy as jnp
+    from voxelray_tpu.io import meshes
+    from voxelray_tpu.ops.geometry import grid_dims, mesh_bbox
+    from voxelray_tpu.ops.voxelize import (required_window_shape,
+                                           voxelize_dense)
+
+    v, f = meshes.icosphere(2)
+    vs = 0.13
+    bb_min, bb_max = mesh_bbox(v)
+    dims = grid_dims(bb_min, bb_max, vs)
+    win = required_window_shape(v, f, bb_min, vs, dims)
+    tri = jnp.asarray(v[f])
+    org = jnp.asarray(bb_min)
+    occ_f, calls_f = voxelize_dense(
+        tri, org, dims=dims, voxel_size_static=vs, window=win, chunk=64,
+        scatter="flat")
+    occ_w, calls_w = voxelize_dense(
+        tri, org, dims=dims, voxel_size_static=vs, window=win, chunk=64,
+        scatter="window")
+    assert np.array_equal(np.asarray(occ_f), np.asarray(occ_w))
+    assert int(calls_f) == int(calls_w)
+
+
+def test_voxelize_planned_matches_mesh():
+    """The bucketed plan path reproduces voxelize_mesh exactly and reuses
+    across deformations."""
+    from voxelray_tpu.io import meshes
+    from voxelray_tpu.ops.voxelize import plan_voxelize, voxelize_mesh
+
+    v, f = meshes.bunny_like(1)
+    vs = 0.17
+    ref = voxelize_mesh(v, f, vs)
+    plan = plan_voxelize(v, f, vs, max_buckets=5)
+    occ, calls = plan(v)
+    assert np.array_equal(np.asarray(occ), np.asarray(ref["occ"]))
+    assert int(calls) == ref["set_calls"]
