@@ -279,3 +279,45 @@ def test_raster_mip_minification(tmp_path):
     jumps = np.abs(np.diff(inner, axis=1))[both]
     assert jumps.size > 100
     assert jumps.max() < 0.05, jumps.max()
+
+
+@pytest.mark.parametrize("mode,size,subsampling,quality", [
+    ("RGB", (32, 24), 0, 95),    # 4:4:4
+    ("RGB", (33, 17), 2, 90),    # 4:2:0, odd dims
+    ("L", (16, 16), 0, 95),      # grayscale
+])
+def test_jpeg_decode_vs_pillow(tmp_path, mode, size, subsampling, quality):
+    """Baseline JPEG decode matches Pillow's within DCT tolerance."""
+    PIL = pytest.importorskip("PIL.Image")
+    rng = np.random.default_rng(42)
+    # smooth-ish content so quantization error stays small
+    base = rng.integers(0, 256, (4, 4, 3), np.uint8)
+    img = np.kron(base, np.ones((size[1] // 4 + 1, size[0] // 4 + 1, 1),
+                                np.uint8))[: size[1], : size[0]]
+    pim = PIL.fromarray(img if mode == "RGB" else img[..., 0], mode)
+    p = str(tmp_path / "t.jpg")
+    pim.save(p, "JPEG", quality=quality, subsampling=subsampling)
+
+    from voxelray_tpu.io.jpeg import read_jpeg
+    got = read_jpeg(p).astype(np.int32)
+    want = np.asarray(PIL.open(p).convert("RGB"), np.int32)
+    if got.shape[-1] == 1:
+        got = got.repeat(3, axis=-1)
+    assert got.shape == want.shape
+    # decoders differ in chroma upsampling filters; mean error must be
+    # tiny and worst pixels bounded
+    err = np.abs(got - want)
+    assert err.mean() < 3.0, err.mean()
+    assert np.percentile(err, 99) <= 30, np.percentile(err, 99)
+
+
+def test_jpeg_progressive_rejected(tmp_path):
+    PIL = pytest.importorskip("PIL.Image")
+    img = np.zeros((16, 16, 3), np.uint8)
+    p = str(tmp_path / "prog.jpg")
+    PIL.fromarray(img).save(p, "JPEG", progressive=True)
+    from voxelray_tpu.io.jpeg import read_jpeg
+    with pytest.raises(ValueError):
+        read_jpeg(p)
+    # load_texture falls back to magenta rather than raising
+    assert np.allclose(load_texture(p), [[[1.0, 0.0, 1.0]]])

@@ -243,6 +243,9 @@ def read_image(path: str) -> np.ndarray:
         head = fh.read(8)
     if head[:8] == b"\x89PNG\r\n\x1a\n":
         return read_png(path)
+    if head[:2] == b"\xff\xd8":
+        from .jpeg import read_jpeg
+        return read_jpeg(path)
     if head[:2] == b"BM":
         return read_bmp(path)
     if head[:2] in (b"P2", b"P3", b"P5", b"P6"):
