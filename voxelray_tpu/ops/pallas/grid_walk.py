@@ -277,7 +277,9 @@ def _make_kernel_2l(bdims, origin, brick_world, max_steps, bq, k_hits):
             cz = jnp.where(skip, lz, cz)
             # one exact brick step crosses the superbrick boundary
             cx, cy, cz, tmin, inb = brick_step(cx, cy, cz, skip)
-            alive = jnp.where(skip, inb & (tmin <= tmax), act)
+            # select expressed as and/or masks: jnp.where on i1 vectors
+            # lowers to an i8->i1 trunci Mosaic cannot compile
+            alive = (skip & inb & (tmin <= tmax)) | (~skip & act)
             act = act & alive
             awork = act & ~l2_occ(cx, cy, cz)
             return (cx, cy, cz, act.astype(jnp.int32),
@@ -299,7 +301,8 @@ def _make_kernel_2l(bdims, origin, brick_world, max_steps, bq, k_hits):
             nhit = nhit + hit_now.astype(jnp.int32)
             full = nhit >= k_hits
             cx, cy, cz, tmin, inb = brick_step(cx, cy, cz, bwork)
-            alive = jnp.where(bwork, inb & (tmin <= tmax) & ~full, act)
+            # and/or-mask select (see a_body: Mosaic i1-select limitation)
+            alive = (bwork & inb & (tmin <= tmax) & ~full) | (~bwork & act)
             act = act & alive
             bwork = act & l2_occ(cx, cy, cz)
             return (cx, cy, cz, act.astype(jnp.int32),
