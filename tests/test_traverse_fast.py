@@ -179,3 +179,30 @@ def test_two_level_walk_random_rays(setup):
     t_2, lin_2 = trace_grid_fast(o, d, accel, t_max=tmax, chunk=8,
                                  two_level=True)
     assert np.array_equal(np.asarray(lin_1), np.asarray(lin_2))
+
+
+@pytest.mark.parametrize("kv", [
+    dict(fine="walk1"),          # round-1 per-slot fine structure
+    dict(fine="dense"),
+    dict(resident_frac=1),       # no straggler compaction
+    dict(fine_frac=1),           # no candidate compaction
+    dict(rounds=3),
+    dict(k_hits=2),
+])
+def test_structural_knobs_same_result(setup, kv):
+    """Every structural/perf knob of trace_grid_fast is result-invariant:
+    compaction, slot fusion, round count and queue depth change cost,
+    never the (t, cell) contract."""
+    grid, occ, accel = setup
+    W, H = 96, 54
+    _, _, vi, pi = Camera().matrices(W, H)
+    o, d = make_camera_rays(W, H, vi, pi)
+    t_r, lin_r = trace_grid_fast(o, d, accel, chunk=8)
+    t_k, lin_k = trace_grid_fast(o, d, accel, chunk=8, **kv)
+    h = np.isfinite(np.asarray(t_r))
+    assert np.array_equal(h, np.isfinite(np.asarray(t_k)))
+    assert np.array_equal(np.asarray(lin_r)[h], np.asarray(lin_k)[h])
+    # t: the dense resolve shares formulas but not XLA fusion shapes with
+    # the walk kernel -> ulp-level drift (the documented 2e-6 contract)
+    assert np.allclose(np.asarray(t_r)[h], np.asarray(t_k)[h],
+                       rtol=2e-6, atol=0)

@@ -228,11 +228,12 @@ def _fine_resolve_block(o, d, brick_lin, t_max, accel, t_min):
 @functools.partial(
     jax.jit,
     static_argnames=("accel_static", "rounds", "chunk", "fine", "k_hits",
-                     "fine_frac", "admit_frac", "two_level"),
+                     "fine_frac", "admit_frac", "two_level",
+                     "resident_frac"),
 )
 def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
                      rounds, chunk, fine="walk", k_hits=4, fine_frac=4,
-                     admit_frac=4, two_level=None):
+                     admit_frac=4, two_level=None, resident_frac=4):
     n = o.shape[0]
     cx, cy, cz, active = _init_state(o, d, accel, t_max)
     if admit is not None:
@@ -255,10 +256,10 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
     # straight-line code, so a data-dependent early-exit rounds loop is a
     # net catastrophe.
 
-    # two-level walk pays once the L1 mux is wide (static decision: the
-    # table row count is a trace-time shape)
-    use_l2 = (accel.coarse.shape[0] > 4 if two_level is None
-              else two_level)
+    # two-level walk: OFF by default — measured on chip (round 2) it is
+    # slower than the single-level walk at 512^3 AND drops hits (Mosaic
+    # miscompilation under investigation); opt in with two_level=True
+    use_l2 = bool(two_level)
 
     def one_round(ox, oy, oz, dx, dy, dz, rcx, rcy, rcz, act, tmn, tmx):
         m = ox.shape[0]
@@ -280,6 +281,26 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
                     jnp.stack([ox, oy, oz], axis=-1),
                     jnp.stack([dx, dy, dz], axis=-1), hit_s, accel,
                     tmn, tmx)
+                got = jnp.isfinite(t_s) & ~jnp.isfinite(t)
+                t = jnp.where(got, t_s, t)
+                lin = jnp.where(got, lin_s, lin)
+            return t, lin, ncx, ncy, ncz, cont
+
+        if fine == "walk1":
+            # round-1 structure: per-slot gather + fine kernel over ALL
+            # m rays, no candidate compaction (A/B reference for the
+            # fused path)
+            from .pallas.brick_fine import fine_walk
+            t = jnp.full((m,), jnp.inf, jnp.float32)
+            lin = jnp.full((m,), -1, jnp.int32)
+            for s in range(k_hits):
+                hit_s = jnp.where(jnp.isfinite(t), -1, hits[s])
+                bl = jnp.maximum(hit_s, 0)
+                words = jnp.take(accel.fine, bl, axis=1)
+                t_s, lin_s = fine_walk(
+                    ox, oy, oz, dx, dy, dz, hit_s, words, tmn, tmx,
+                    dims=accel_static_dims, bdims=bdims,
+                    origin_key=origin_key, voxel_size=vs, bq=chunk)
                 got = jnp.isfinite(t_s) & ~jnp.isfinite(t)
                 t = jnp.where(got, t_s, t)
                 lin = jnp.where(got, lin_s, lin)
@@ -344,8 +365,11 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
         caps = [cap_up(-(-n // admit_frac))]
     else:
         caps = [n]
-    caps += [cap_up(-(-n // 4))] * 3 + [cap_up(-(-n // 16))] \
-        * max(0, rounds - 4)
+    if resident_frac <= 1:
+        caps += [n] * max(0, rounds - 1)
+    else:
+        caps += [cap_up(-(-n // resident_frac))] * 3 \
+            + [cap_up(-(-n // (resident_frac * 4)))] * max(0, rounds - 4)
 
     for r in range(rounds):
         cap = caps[r]
@@ -396,13 +420,17 @@ def _tuned_chunk(accel, chunk):
 
 def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
                     t_max=TMAX, rounds=6, chunk=64, fine="walk",
-                    admit=None, k_hits=4, two_level=None):
+                    admit=None, k_hits=4, two_level=None, fine_frac=4,
+                    resident_frac=4):
     """(t, cell_lin) nearest voxel hit; same contract as trace_grid_dda.
 
     admit: optional bool mask (batch shape) — only admitted rays trace
     (others return miss); the round-1 resident buffer is then compacted
     to n/4, which is the shadow-ray fast path.  two_level forces the
-    super-brick walk on/off (None = auto by table width).
+    super-brick walk on (default off: measured slower + hit-dropping on
+    chip, round 2).  fine_frac=F compacts candidate rays into an n/F
+    fine buffer (1 = no compaction).  resident_frac=F compacts straggler
+    rays into n/F buffers for rounds 2+ (1 = no resident compaction).
     """
     batch_shape = origins.shape[:-1]
     o = origins.reshape(-1, 3)
@@ -415,7 +443,8 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
         accel_static=(accel.bdims, accel.origin_key, accel.voxel_size,
                       accel.dims),
         rounds=rounds, chunk=_tuned_chunk(accel, chunk), fine=fine,
-        k_hits=k_hits, two_level=two_level)
+        k_hits=k_hits, two_level=two_level, fine_frac=fine_frac,
+        resident_frac=resident_frac)
     return t.reshape(batch_shape), lin.reshape(batch_shape)
 
 

@@ -316,8 +316,14 @@ class VoxelizePlan:
     """
 
     def __init__(self, vertices, faces, voxel_size, *, bb_min=None,
-                 bb_max=None, max_buckets=12, chunk=16384,
+                 bb_max=None, max_buckets=12, chunk=262144,
                  window_slack=(0, 0, 0)):
+        # chunk bounds TRIANGLES per scatter; the real per-op size knob is
+        # the slot budget in voxelize_planned (chunk*capacity).  Round-2
+        # on-chip lesson: many small scatters (16k tris x 12 slots) ran
+        # 2.7x SLOWER than round-1's few big ones (16k x 144) despite 9x
+        # fewer total slots — per-op overhead dominates below ~4M slots,
+        # so keep chunks big enough to saturate the budget.
         from .geometry import grid_dims, mesh_bbox
 
         v = np.asarray(vertices, np.float32).reshape(-1, 3)
@@ -347,7 +353,7 @@ def plan_voxelize(vertices, faces, voxel_size, **kw) -> VoxelizePlan:
     return VoxelizePlan(vertices, faces, voxel_size, **kw)
 
 
-def voxelize_planned(plan: VoxelizePlan, vertices):
+def voxelize_planned(plan: VoxelizePlan, vertices, scatter="auto"):
     """Execute a VoxelizePlan against (possibly deformed) vertices.
 
     vertices: (V, 3) float32 (host or device).  Pure device math: one
@@ -366,7 +372,8 @@ def voxelize_planned(plan: VoxelizePlan, vertices):
         bchunk = int(min(plan.chunk, max(8, budget // cap)))
         occ_b, calls_b = voxelize_dense(
             v[fidx], org, dims=plan.dims,
-            voxel_size_static=plan.voxel_size, window=win, chunk=bchunk)
+            voxel_size_static=plan.voxel_size, window=win, chunk=bchunk,
+            scatter=scatter)
         occ = jnp.maximum(occ, occ_b)
         calls = calls + calls_b
     return occ, calls

@@ -96,7 +96,8 @@ def _sample_texture(textures, tex_meta, layer, uv, lod=None):
     return jnp.where((layer >= 0)[..., None], c, 1.0)
 
 
-def _trace_voxels(scene: Scene, origins, dirs, t_min, t_max, backend):
+def _trace_voxels(scene: Scene, origins, dirs, t_min, t_max, backend,
+                  fast_opts=()):
     if backend == "octree" and scene.octree is not None:
         from ..ops.octree_traverse import trace_octree
         return trace_octree(origins, dirs, scene.octree,
@@ -104,7 +105,8 @@ def _trace_voxels(scene: Scene, origins, dirs, t_min, t_max, backend):
     if backend == "fast" and scene.accel is not None:
         from ..ops.traverse_fast import trace_grid_fast
         return trace_grid_fast(origins, dirs, scene.accel,
-                               t_min=t_min, t_max=t_max)
+                               t_min=t_min, t_max=t_max,
+                               **dict(fast_opts))
     if backend == "dda" and scene.occ_flat.shape[0] > 0:
         t, lin = trace_grid_dda(
             origins, dirs, scene.occ_flat, scene.grid_origin,
@@ -133,7 +135,7 @@ def _voxel_center_of_hit(scene: Scene, hit_id, backend):
 
 
 def _any_hit(scene: Scene, origins, dirs, t_min, t_max, backend,
-             admit=None):
+             admit=None, fast_opts=()):
     occluded = jnp.zeros(origins.shape[:-1], bool)
     if scene.n_triangles:
         occluded |= any_hit_triangles_brute(
@@ -147,7 +149,11 @@ def _any_hit(scene: Scene, origins, dirs, t_min, t_max, backend,
         from ..ops.traverse_fast import any_hit_grid_fast
         occluded |= any_hit_grid_fast(origins, dirs, scene.accel,
                                       t_min=t_min, t_max=t_max,
-                                      admit=admit)
+                                      admit=admit,
+                                      **{k: v for k, v in dict(
+                                          fast_opts).items()
+                                         if k in ("rounds", "chunk",
+                                                  "fine")})
     elif backend == "dda" and scene.occ_flat.shape[0] > 0:
         occluded |= any_hit_grid_dda(
             origins, dirs, scene.occ_flat, scene.grid_origin,
@@ -161,7 +167,8 @@ def _any_hit(scene: Scene, origins, dirs, t_min, t_max, backend,
 
 def render_rays(scene: Scene, origins, dirs, light_position,
                 light_intensity, light_type, clear_color, *,
-                backend="dda", t_min=TMIN, t_max=TMAX, shadows=True):
+                backend="dda", t_min=TMIN, t_max=TMAX, shadows=True,
+                fast_opts=()):
     """Trace + shade a ray batch; returns linear-space RGB (..., 3)."""
     # ---- closest hit over both geometry kinds --------------------------
     if scene.n_triangles:
@@ -173,7 +180,7 @@ def render_rays(scene: Scene, origins, dirs, light_position,
         tri_id = jnp.full(origins.shape[:-1], -1, jnp.int32)
         bu = bv = jnp.zeros(origins.shape[:-1], jnp.float32)
     t_vox, vox_id = _trace_voxels(scene, origins, dirs, t_min, t_max,
-                                  backend)
+                                  backend, fast_opts)
 
     vox_hit = jnp.isfinite(t_vox) & (t_vox < t_tri)
     tri_hit = jnp.isfinite(t_tri) & ~vox_hit
@@ -235,7 +242,7 @@ def render_rays(scene: Scene, origins, dirs, light_position,
         # form that pays.
         admit = (any_hit & facing) if backend == "fast" else None
         shadowed = _any_hit(scene, world_pos, l_vec, TMIN, light_dist,
-                            backend, admit=admit)
+                            backend, admit=admit, fast_opts=fast_opts)
         shadowed = jnp.where(facing, shadowed, True)  # traced when facing
     else:
         # shadows disabled: every facing surface counts as lit
@@ -259,15 +266,15 @@ def render_rays(scene: Scene, origins, dirs, light_position,
 @functools.partial(
     jax.jit,
     static_argnames=("scene_static", "width", "height", "backend",
-                     "shadows"),
+                     "shadows", "fast_opts"),
 )
 def _render_jit(scene, view_inv, proj_inv, light_position, light_intensity,
                 light_type, clear_color, *, scene_static, width, height,
-                backend, shadows):
+                backend, shadows, fast_opts=()):
     origins, dirs = make_camera_rays(width, height, view_inv, proj_inv)
     rgb = render_rays(scene, origins, dirs, light_position, light_intensity,
                       light_type, clear_color, backend=backend,
-                      shadows=shadows)
+                      shadows=shadows, fast_opts=fast_opts)
     rgba = jnp.concatenate([rgb, jnp.ones(rgb.shape[:-1] + (1,),
                                           jnp.float32)], axis=-1)
     return shading.gamma_post(rgba)
@@ -275,8 +282,14 @@ def _render_jit(scene, view_inv, proj_inv, light_position, light_intensity,
 
 def render_image(scene: Scene, view_inv, proj_inv, *, width, height,
                  light: Light = Light(), clear_color=(1.0, 1.0, 1.0, 1.0),
-                 backend="dda", shadows=True):
-    """Framebuffer (H, W, 4) float32, gamma-corrected."""
+                 backend="dda", shadows=True, fast_opts=None):
+    """Framebuffer (H, W, 4) float32, gamma-corrected.
+
+    fast_opts: optional dict of trace_grid_fast tuning knobs (rounds,
+    chunk, k_hits, fine_frac, two_level, ...) applied when
+    backend="fast"; hashed into the jit key.
+    """
+    opts = tuple(sorted(fast_opts.items())) if fast_opts else ()
     return _render_jit(
         scene, jnp.asarray(view_inv), jnp.asarray(proj_inv),
         jnp.asarray(light.position, jnp.float32),
@@ -284,6 +297,7 @@ def render_image(scene: Scene, view_inv, proj_inv, *, width, height,
         jnp.asarray(clear_color, jnp.float32),
         scene_static=(scene.grid_dims, scene.grid_voxel_size),
         width=width, height=height, backend=backend, shadows=shadows,
+        fast_opts=opts,
     )
 
 
