@@ -316,14 +316,12 @@ class VoxelizePlan:
     """
 
     def __init__(self, vertices, faces, voxel_size, *, bb_min=None,
-                 bb_max=None, max_buckets=12, chunk=262144,
+                 bb_max=None, max_buckets=12, chunk=16384,
                  window_slack=(0, 0, 0)):
-        # chunk bounds TRIANGLES per scatter; the real per-op size knob is
-        # the slot budget in voxelize_planned (chunk*capacity).  Round-2
-        # on-chip lesson: many small scatters (16k tris x 12 slots) ran
-        # 2.7x SLOWER than round-1's few big ones (16k x 144) despite 9x
-        # fewer total slots — per-op overhead dominates below ~4M slots,
-        # so keep chunks big enough to saturate the budget.
+        # chunk = triangles per scatter op.  Measured on chip (round 2,
+        # clean solo runs): 16384 -> 538 ms for 1M tris at 512^3; raising
+        # it to 262144 REGRESSED to 746 ms — more slots per scatter op
+        # does not help once the op is a few hundred-k slots.
         from .geometry import grid_dims, mesh_bbox
 
         v = np.asarray(vertices, np.float32).reshape(-1, 3)
