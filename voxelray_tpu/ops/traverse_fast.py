@@ -4,9 +4,10 @@ Pipeline per ray batch (trace_grid_fast):
 
   1. init: clip rays to the grid bounds, seed the brick-level DDA state
   2. rounds (static python loop under jit): the Pallas coarse_walk finds
-     each resident ray's next K=4 occupied 8^3 bricks (VMEM mux-gather
+     each resident ray's next K occupied 8^3 bricks (VMEM mux-gather
      DDA).  Rays that found at least one candidate brick are
-     cumsum-compacted into a buffer of N/4 capacity; ONE HBM gather pulls
+     cumsum-compacted into a buffer of N/fine_frac capacity; ONE HBM
+     gather pulls
      all K bricks' occupancy words for the compacted rays, and ONE fused
      Pallas kernel (brick_fine.fine_walk_multi) resolves the K candidates
      in ray order.  Rays that overflow the fine buffer rewind their walk
@@ -20,6 +21,17 @@ Round-1 measurement that forced this shape: only ~12% of 1080p rays have
 any candidate brick after the coarse walk, yet the old per-slot fine
 stage gathered + walked all N rays x 4 slots — compaction plus slot
 fusion removes ~90% of the fine-stage HBM traffic (the bench floor).
+
+Round-2 measurement that set the defaults: marginal ROUNDS, not queue
+depth, dominate cost (120-200 ms per straggler round at 512^3 vs ~25 ms
+per extra k-slot), so the default moved from k_hits=4 x rounds=6 to
+k_hits=8 x rounds=3 with fine_frac=8 — identical 24-occupied-brick
+coverage (bit-identical hits on the full-preset scene, 670 -> 371 ms).
+Coverage bound: a ray that crosses more than k_hits*rounds occupied
+bricks without an accepted cell returns miss; the dda backend is the
+exhaustive reference (on the 1M-tri full preset it finds 41 more hits
+out of 210k — tangent rays skimming the shell; unchanged from the old
+default, which had the same 24-brick bound).
 
 An optional `admit` mask starts only selected rays (shadow rays exist
 only for lit, facing pixels) with a compacted round-1 resident buffer —
@@ -419,8 +431,8 @@ def _tuned_chunk(accel, chunk):
 
 
 def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
-                    t_max=TMAX, rounds=6, chunk=64, fine="walk",
-                    admit=None, k_hits=4, two_level=None, fine_frac=4,
+                    t_max=TMAX, rounds=3, chunk=64, fine="walk",
+                    admit=None, k_hits=8, two_level=None, fine_frac=8,
                     resident_frac=4):
     """(t, cell_lin) nearest voxel hit; same contract as trace_grid_dda.
 
@@ -449,14 +461,17 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
 
 
 def any_hit_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
-                      t_max=TMAX, rounds=6, chunk=64, fine="walk",
-                      admit=None):
+                      t_max=TMAX, rounds=3, chunk=64, fine="walk",
+                      admit=None, k_hits=4):
     """True where some voxel accepts along the ray (shadow query).
 
-    k_hits=2 (not 4): an any-hit ray stops at its first accepted cell,
-    so deep candidate queues are wasted gather traffic.
+    k_hits=4 x rounds=3 keeps the original 12-occupied-brick coverage
+    at half the round count (measured round 2: rounds, not queue depth,
+    dominate cost; k2 x r3 dropped ~1% of occlusions, k4 x r3 none).
+    An any-hit ray still stops at its first accepted cell, so queues
+    deeper than the nearest-trace default stay wasted gather traffic.
     """
     t, _ = trace_grid_fast(origins, dirs, accel, t_min=t_min, t_max=t_max,
                            rounds=rounds, chunk=chunk, fine=fine,
-                           admit=admit, k_hits=2)
+                           admit=admit, k_hits=k_hits)
     return jnp.isfinite(t)

@@ -316,12 +316,14 @@ class VoxelizePlan:
     """
 
     def __init__(self, vertices, faces, voxel_size, *, bb_min=None,
-                 bb_max=None, max_buckets=12, chunk=16384,
+                 bb_max=None, max_buckets=24, chunk=16384,
                  window_slack=(0, 0, 0)):
-        # chunk = triangles per scatter op.  Measured on chip (round 2,
-        # clean solo runs): 16384 -> 538 ms for 1M tris at 512^3; raising
-        # it to 262144 REGRESSED to 746 ms — more slots per scatter op
-        # does not help once the op is a few hundred-k slots.
+        # Measured on chip (round 2, clean solo runs, 1M tris, 512^3):
+        # chunk 16384 -> 538 ms, 262144 -> 746 ms (bigger scatter ops do
+        # not help), 8192 -> 523 ms; buckets 6/12/24 -> 1008/538/472 ms
+        # (exact windows are the lever: padded-slot waste is 1.48x at 12
+        # buckets, 1.14x at 24 — voxelization is scatter-slot-bound at
+        # ~137M slots/s).
         from .geometry import grid_dims, mesh_bbox
 
         v = np.asarray(vertices, np.float32).reshape(-1, 3)

@@ -147,13 +147,17 @@ def _any_hit(scene: Scene, origins, dirs, t_min, t_max, backend,
                                    t_min=t_min, t_max=t_max)
     elif backend == "fast" and scene.accel is not None:
         from ..ops.traverse_fast import any_hit_grid_fast
+        # shadow coverage (k_hits x rounds) has its own defaults — only
+        # the cost/layout knobs flow through from fast_opts (a rounds
+        # override tuned for the nearest-trace would silently change
+        # which pixels count as occluded)
         occluded |= any_hit_grid_fast(origins, dirs, scene.accel,
                                       t_min=t_min, t_max=t_max,
                                       admit=admit,
                                       **{k: v for k, v in dict(
                                           fast_opts).items()
-                                         if k in ("rounds", "chunk",
-                                                  "fine")})
+                                         if k in ("chunk", "fine",
+                                                  "two_level")})
     elif backend == "dda" and scene.occ_flat.shape[0] > 0:
         occluded |= any_hit_grid_dda(
             origins, dirs, scene.occ_flat, scene.grid_origin,
