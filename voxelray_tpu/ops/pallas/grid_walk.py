@@ -266,12 +266,21 @@ def _make_kernel_2l(bdims, origin, brick_world, max_steps, bq, k_hits):
             tsy = jnp.where(dy == 0.0, _INF, tsy)
             tsz = jnp.where(dz == 0.0, _INF, tsz)
             t_ex = jnp.minimum(tsx, jnp.minimum(tsy, tsz))
-            lx = jnp.clip(jnp.floor((ox + dx * t_ex - ogx) / bw)
-                          .astype(jnp.int32), scx * 8, scx * 8 + 7)
-            ly = jnp.clip(jnp.floor((oy + dy * t_ex - ogy) / bw)
-                          .astype(jnp.int32), scy * 8, scy * 8 + 7)
-            lz = jnp.clip(jnp.floor((oz + dz * t_ex - ogz) / bw)
-                          .astype(jnp.int32), scz * 8, scz * 8 + 7)
+            # UNDERSHOOT-biased landing: floor() of the exit point can
+            # round one brick PAST the DDA's true path (compiled-mode FMA
+            # contraction differs from the stepped crossings — measured
+            # on chip: 2 of 210k rays missed their hit).  Landing one
+            # brick short per axis (relative to the ray direction) keeps
+            # the lane at-or-behind the true path; behind-lanes
+            # self-correct because their stale plane crossings sort
+            # first in the DDA min.  Overshot lanes never correct —
+            # hence the bias, not a symmetric clamp.
+            lbx = jnp.floor((ox + dx * t_ex - ogx) / bw).astype(jnp.int32)
+            lby = jnp.floor((oy + dy * t_ex - ogy) / bw).astype(jnp.int32)
+            lbz = jnp.floor((oz + dz * t_ex - ogz) / bw).astype(jnp.int32)
+            lx = jnp.clip(lbx - sx, scx * 8, scx * 8 + 7)
+            ly = jnp.clip(lby - sy, scy * 8, scy * 8 + 7)
+            lz = jnp.clip(lbz - sz, scz * 8, scz * 8 + 7)
             # and/or-mask select: jnp.where on i1-derived int vectors is
             # fine, but keep coords int32 selects (Mosaic-safe)
             cx = jnp.where(skip, lx, cx)

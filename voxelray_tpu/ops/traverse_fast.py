@@ -252,6 +252,13 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
         active = active & admit
     best_t = jnp.full((n,), jnp.inf, jnp.float32)
     best_lin = jnp.full((n,), -1, jnp.int32)
+    # SoA ray state: six contiguous (n,) copies up front.  Profiled on
+    # chip (round 2): a 524k-index gather of ONE COLUMN of a (n, 3)
+    # array costs 6-16 ms (minor-dim-3 layout), the same gather from a
+    # 1-D array 2-6 ms; rounds 2+ do six of them each, so the column
+    # gathers alone were ~100 ms of a 375 ms trace.
+    oxa, oya, oza = o[:, 0], o[:, 1], o[:, 2]
+    dxa, dya, dza = d[:, 0], d[:, 1], d[:, 2]
 
     bdims, origin_key, vs, accel_static_dims = accel_static
     bx, by, _bz = bdims
@@ -393,8 +400,8 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
             live = sel < n
             sel_c = jnp.minimum(sel, n - 1)
             t, lin, scx, scy, scz, cont_s = one_round(
-                o[sel_c, 0], o[sel_c, 1], o[sel_c, 2],
-                d[sel_c, 0], d[sel_c, 1], d[sel_c, 2],
+                oxa[sel_c], oya[sel_c], oza[sel_c],
+                dxa[sel_c], dya[sel_c], dza[sel_c],
                 cx[sel_c], cy[sel_c], cz[sel_c],
                 live & active[sel_c], t_min, t_max[sel_c])
             # writes go through `sel` (empty slots hold the OOB index n
@@ -411,7 +418,7 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
             active = active.at[sel].set(new_act, mode="drop")
         else:
             t, lin, cx, cy, cz, cont = one_round(
-                o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+                oxa, oya, oza, dxa, dya, dza,
                 cx, cy, cz, active, t_min, t_max)
             resolved = jnp.isfinite(t) & active
             best_t = jnp.where(resolved, t, best_t)
@@ -470,8 +477,14 @@ def any_hit_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
     dominate cost; k2 x r3 dropped ~1% of occlusions, k4 x r3 none).
     An any-hit ray still stops at its first accepted cell, so queues
     deeper than the nearest-trace default stay wasted gather traffic.
+
+    fine_frac is pinned to 1: shadow rays START on surfaces, so nearly
+    every admitted ray has a candidate brick immediately — a primary-ray
+    fine buffer (n/8) overflows every round and 15% of occlusions came
+    out missing on chip (69609 vs 82218 on the full preset) before this
+    was pinned.
     """
     t, _ = trace_grid_fast(origins, dirs, accel, t_min=t_min, t_max=t_max,
                            rounds=rounds, chunk=chunk, fine=fine,
-                           admit=admit, k_hits=k_hits)
+                           admit=admit, k_hits=k_hits, fine_frac=1)
     return jnp.isfinite(t)
