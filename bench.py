@@ -70,7 +70,24 @@ def parity_gate():
         checks[f"{backend}_hits_match_dda"] = hit_eq
         checks[f"{backend}_t_match_dda"] = t_ok
     checks["hit_pixels"] = int(hd.sum())
-    ok = all(bool(x) for k, x in checks.items() if k != "hit_pixels")
+
+    # shadow-occlusion parity: the admit-compacted any-hit path has its
+    # own buffer-capacity machinery that interpret-mode tests exercised
+    # but the on-chip gate did not — a fine-buffer overflow silently
+    # dropped 15% of occlusions in round 2.  Compare the full shaded
+    # image fast-vs-dda (shadow term included) pixelwise.
+    from voxelray_tpu.render.pipeline import render_scene
+    imgs = {}
+    for backend in ("fast", "dda"):
+        imgs[backend] = np.asarray(render_scene(
+            scene, cam, width=320, height=180, backend=backend,
+            shadows=True))
+    close = np.isclose(imgs["fast"], imgs["dda"], rtol=2e-5, atol=1e-6)
+    frac = float(close.all(axis=-1).mean())
+    checks["shadow_image_match_frac"] = round(frac, 6)
+    checks["shadow_image_ok"] = bool(frac >= 0.999)
+    ok = all(bool(x) for k, x in checks.items()
+             if isinstance(x, (bool, np.bool_)))
     log(f"parity gate: {checks}")
     return ok, checks
 
