@@ -206,3 +206,25 @@ def test_structural_knobs_same_result(setup, kv):
     # the walk kernel -> ulp-level drift (the documented 2e-6 contract)
     assert np.allclose(np.asarray(t_r)[h], np.asarray(t_k)[h],
                        rtol=2e-6, atol=0)
+
+
+def test_any_hit_dense_admit_no_overflow_loss():
+    """Regression: shadow-style any-hit where ~every admitted ray has an
+    immediate candidate brick.  A primary-ray-sized fine buffer
+    (fine_frac=8) overflows every round here and silently dropped 15% of
+    occlusions on chip; any_hit_grid_fast pins fine_frac=1."""
+    from voxelray_tpu.ops.traverse_fast import any_hit_grid_fast
+    occ = np.ones((24, 24, 24), np.uint8)
+    accel = build_accel(occ, np.zeros(3, np.float32), 0.1)
+    W, H = 64, 48
+    cam = Camera(eye=(1.2, 1.2, -1.6), center=(1.2, 1.2, 1.2))
+    _, _, vi, pi = cam.matrices(W, H)
+    o, d = make_camera_rays(W, H, vi, pi)
+    rng = np.random.default_rng(3)
+    admit = jnp.asarray(rng.random((H, W)) < 0.9)  # ~all rays admitted
+    t_ref, _ = trace_grid_fast(o, d, accel, chunk=8)
+    occl = any_hit_grid_fast(o, d, accel, chunk=8, admit=admit)
+    a = np.asarray(admit)
+    assert np.array_equal(np.asarray(occl)[a],
+                          np.isfinite(np.asarray(t_ref))[a])
+    assert not np.asarray(occl)[~a].any()

@@ -281,6 +281,15 @@ def _make_kernel_2l(bdims, origin, brick_world, max_steps, bq, k_hits):
             lx = jnp.clip(lbx - sx, scx * 8, scx * 8 + 7)
             ly = jnp.clip(lby - sy, scy * 8, scy * 8 + 7)
             lz = jnp.clip(lbz - sz, scz * 8, scz * 8 + 7)
+            # ...but never BACKWARD of the lane's current brick: the
+            # landing is position-independent, so a lane already at the
+            # superbrick's far edge would be pulled back one brick and
+            # ping-pong until the step budget dies (measured on chip:
+            # 78% of hits lost).  Forward-max keeps progress monotone;
+            # the subsequent exact step then crosses the boundary.
+            lx = jnp.where(sx > 0, jnp.maximum(lx, cx), jnp.minimum(lx, cx))
+            ly = jnp.where(sy > 0, jnp.maximum(ly, cy), jnp.minimum(ly, cy))
+            lz = jnp.where(sz > 0, jnp.maximum(lz, cz), jnp.minimum(lz, cz))
             # and/or-mask select: jnp.where on i1-derived int vectors is
             # fine, but keep coords int32 selects (Mosaic-safe)
             cx = jnp.where(skip, lx, cx)

@@ -252,13 +252,18 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
         active = active & admit
     best_t = jnp.full((n,), jnp.inf, jnp.float32)
     best_lin = jnp.full((n,), -1, jnp.int32)
-    # SoA ray state: six contiguous (n,) copies up front.  Profiled on
-    # chip (round 2): a 524k-index gather of ONE COLUMN of a (n, 3)
-    # array costs 6-16 ms (minor-dim-3 layout), the same gather from a
-    # 1-D array 2-6 ms; rounds 2+ do six of them each, so the column
-    # gathers alone were ~100 ms of a 375 ms trace.
+    # PACKED ray/state rows.  Profiled on chip (round 2): HBM gathers
+    # cost per-INDEX (~33M scalar gathers/s — a 524k-index 1-D gather is
+    # 12-16 ms) while wide rows amortize (the 16-wide fine-words gather
+    # runs ~90M idx/s).  Packing the 7 per-ray constants into one (n, 8)
+    # f32 row and the 4 walk-state words into one (n, 4) i32 row turns
+    # the ~11 scalar gathers per straggler round into two row gathers.
     oxa, oya, oza = o[:, 0], o[:, 1], o[:, 2]
     dxa, dya, dza = d[:, 0], d[:, 1], d[:, 2]
+    rays8 = jnp.stack([oxa, oya, oza, dxa, dya, dza, t_max,
+                       jnp.zeros_like(t_max)], axis=1)
+    state4 = jnp.stack([cx, cy, cz, active.astype(jnp.int32)], axis=1)
+    del cx, cy, cz
 
     bdims, origin_key, vs, accel_static_dims = accel_static
     bx, by, _bz = bdims
@@ -275,10 +280,14 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
     # straight-line code, so a data-dependent early-exit rounds loop is a
     # net catastrophe.
 
-    # two-level walk: OFF by default — measured on chip (round 2) it is
-    # slower than the single-level walk at 512^3 AND drops hits (Mosaic
-    # miscompilation under investigation); opt in with two_level=True
-    use_l2 = bool(two_level)
+    # two-level walk: auto-on for wide L1 tables.  The fused per-lane
+    # two-speed kernel with the monotone undershoot landing is
+    # bit-identical to the single-level walk on chip (210114/210114 on
+    # the full preset) and measured faster there (437.8 vs 448.3 ms
+    # trace, 472.6 vs 495.4 ms shadow); narrow tables (small grids)
+    # don't benefit, so rows <= 4 stays single-level.
+    use_l2 = (accel.coarse.shape[0] > 4 if two_level is None
+              else bool(two_level))
 
     def one_round(ox, oy, oz, dx, dy, dz, rcx, rcy, rcz, act, tmn, tmx):
         m = ox.shape[0]
@@ -345,17 +354,21 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
             flive = has
             ovf = jnp.zeros((m,), bool)
 
-        bricks_c = jnp.stack(
-            [jnp.where(flive, hits[s][fsel_c], -1) for s in range(k_hits)])
+        # wide-row gathers only (per-index cost, round-2 profile): one
+        # (k, fcap) take for the candidate bricks, one (fcap, 7) row
+        # gather for the ray components
+        bricks_c = jnp.where(flive[None, :],
+                             jnp.take(hits, fsel_c, axis=1), -1)
+        r7 = jnp.stack([ox, oy, oz, dx, dy, dz, tmx], axis=1)[fsel_c]
         # ONE gather for all k slots: (16, k*fcap) -> (k, 16, fcap)
         bl = jnp.maximum(bricks_c, 0).reshape(-1)
         words = jnp.take(accel.fine, bl.reshape(k_hits, fcap)
                          .reshape(-1), axis=1)
         words = words.reshape(16, k_hits, fcap).transpose(1, 0, 2)
         t_c, lin_c = fine_walk_multi(
-            ox[fsel_c], oy[fsel_c], oz[fsel_c],
-            dx[fsel_c], dy[fsel_c], dz[fsel_c],
-            bricks_c, words, tmn, tmx[fsel_c],
+            r7[:, 0], r7[:, 1], r7[:, 2],
+            r7[:, 3], r7[:, 4], r7[:, 5],
+            bricks_c, words, tmn, r7[:, 6],
             dims=accel_static_dims, bdims=bdims, origin_key=origin_key,
             voxel_size=vs, bq=chunk)
 
@@ -393,37 +406,44 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
     for r in range(rounds):
         cap = caps[r]
         if cap < n:
+            active = state4[:, 3] > 0
             pos = jnp.cumsum(active.astype(jnp.int32)) - 1
             slot = jnp.where(active & (pos < cap), pos, cap)
             sel = jnp.full((cap,), n, jnp.int32).at[slot].set(
                 jnp.arange(n, dtype=jnp.int32), mode="drop")
             live = sel < n
             sel_c = jnp.minimum(sel, n - 1)
+            r8 = rays8[sel_c]          # (cap, 8) — one row gather
+            s4 = state4[sel_c]         # (cap, 4) — one row gather
             t, lin, scx, scy, scz, cont_s = one_round(
-                oxa[sel_c], oya[sel_c], oza[sel_c],
-                dxa[sel_c], dya[sel_c], dza[sel_c],
-                cx[sel_c], cy[sel_c], cz[sel_c],
-                live & active[sel_c], t_min, t_max[sel_c])
+                r8[:, 0], r8[:, 1], r8[:, 2],
+                r8[:, 3], r8[:, 4], r8[:, 5],
+                s4[:, 0], s4[:, 1], s4[:, 2],
+                live & (s4[:, 3] > 0), t_min, r8[:, 6])
             # writes go through `sel` (empty slots hold the OOB index n
-            # and get dropped) — clamped duplicates would race on ray n-1
+            # and get dropped) — clamped duplicates would race on ray
+            # n-1.  Result writes additionally route non-hits to the
+            # drop index so no best_t[sel_c] read-back gather is needed.
             got = jnp.isfinite(t) & live
-            best_t = best_t.at[sel].set(
-                jnp.where(got, t, best_t[sel_c]), mode="drop")
-            best_lin = best_lin.at[sel].set(
-                jnp.where(got, lin, best_lin[sel_c]), mode="drop")
-            cx = cx.at[sel].set(scx, mode="drop")
-            cy = cy.at[sel].set(scy, mode="drop")
-            cz = cz.at[sel].set(scz, mode="drop")
-            new_act = active[sel_c] & ~got & (cont_s > 0) & live
-            active = active.at[sel].set(new_act, mode="drop")
+            sel_w = jnp.where(got, sel, n)
+            best_t = best_t.at[sel_w].set(t, mode="drop")
+            best_lin = best_lin.at[sel_w].set(lin, mode="drop")
+            new_act = (s4[:, 3] > 0) & ~got & (cont_s > 0) & live
+            state4 = state4.at[sel].set(
+                jnp.stack([scx, scy, scz, new_act.astype(jnp.int32)],
+                          axis=1), mode="drop")
         else:
-            t, lin, cx, cy, cz, cont = one_round(
+            act = state4[:, 3] > 0
+            t, lin, ncx, ncy, ncz, cont = one_round(
                 oxa, oya, oza, dxa, dya, dza,
-                cx, cy, cz, active, t_min, t_max)
-            resolved = jnp.isfinite(t) & active
+                state4[:, 0], state4[:, 1], state4[:, 2],
+                act, t_min, t_max)
+            resolved = jnp.isfinite(t) & act
             best_t = jnp.where(resolved, t, best_t)
             best_lin = jnp.where(resolved, lin, best_lin)
-            active = active & ~resolved & (cont > 0)
+            new_act = act & ~resolved & (cont > 0)
+            state4 = jnp.stack(
+                [ncx, ncy, ncz, new_act.astype(jnp.int32)], axis=1)
     return best_t, best_lin
 
 
@@ -469,14 +489,17 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
 
 def any_hit_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
                       t_max=TMAX, rounds=3, chunk=64, fine="walk",
-                      admit=None, k_hits=4):
+                      admit=None, k_hits=4, two_level=None):
     """True where some voxel accepts along the ray (shadow query).
 
-    k_hits=4 x rounds=3 keeps the original 12-occupied-brick coverage
-    at half the round count (measured round 2: rounds, not queue depth,
-    dominate cost; k2 x r3 dropped ~1% of occlusions, k4 x r3 none).
-    An any-hit ray still stops at its first accepted cell, so queues
-    deeper than the nearest-trace default stay wasted gather traffic.
+    k_hits=4 x rounds=3 keeps the original 12-occupied-brick coverage at
+    half the round count AND the original total ray capacity: the admit
+    path can only start n/4 rays per round, so dense-admit scenes (every
+    pixel lit-and-facing, e.g. a wall close-up) need the third round to
+    drain the queue — rounds=2 measurably dropped occlusions there
+    (test_any_hit_dense_admit_no_overflow_loss).  An any-hit ray still
+    stops at its first accepted cell, so queues deeper than needed stay
+    wasted gather traffic.
 
     fine_frac is pinned to 1: shadow rays START on surfaces, so nearly
     every admitted ray has a candidate brick immediately — a primary-ray
@@ -486,5 +509,6 @@ def any_hit_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
     """
     t, _ = trace_grid_fast(origins, dirs, accel, t_min=t_min, t_max=t_max,
                            rounds=rounds, chunk=chunk, fine=fine,
-                           admit=admit, k_hits=k_hits, fine_frac=1)
+                           admit=admit, k_hits=k_hits, fine_frac=1,
+                           two_level=two_level)
     return jnp.isfinite(t)
