@@ -488,18 +488,20 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
 
 
 def any_hit_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
-                      t_max=TMAX, rounds=3, chunk=64, fine="walk",
-                      admit=None, k_hits=4, two_level=None):
+                      t_max=TMAX, rounds=2, chunk=64, fine="walk",
+                      admit=None, k_hits=6, two_level=None,
+                      resident_frac=2):
     """True where some voxel accepts along the ray (shadow query).
 
-    k_hits=4 x rounds=3 keeps the original 12-occupied-brick coverage at
-    half the round count AND the original total ray capacity: the admit
-    path can only start n/4 rays per round, so dense-admit scenes (every
-    pixel lit-and-facing, e.g. a wall close-up) need the third round to
-    drain the queue — rounds=2 measurably dropped occlusions there
-    (test_any_hit_dense_admit_no_overflow_loss).  An any-hit ray still
-    stops at its first accepted cell, so queues deeper than needed stay
-    wasted gather traffic.
+    k_hits=6 x rounds=2 keeps the original 12-occupied-brick coverage at
+    a third of the round count (260 -> ~102 ms on the full preset with
+    identical occlusions).  resident_frac=2 widens the second round's
+    buffer to n/2 so total ray capacity stays 0.75n: the admit path can
+    only start n/4 rays in round 1, and dense-admit scenes (every pixel
+    lit-and-facing, e.g. a wall close-up) need the remaining capacity to
+    drain the queue (test_any_hit_dense_admit_no_overflow_loss pins
+    this).  An any-hit ray still stops at its first accepted cell, so
+    queues deeper than needed stay wasted gather traffic.
 
     fine_frac is pinned to 1: shadow rays START on surfaces, so nearly
     every admitted ray has a candidate brick immediately — a primary-ray
@@ -510,5 +512,6 @@ def any_hit_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
     t, _ = trace_grid_fast(origins, dirs, accel, t_min=t_min, t_max=t_max,
                            rounds=rounds, chunk=chunk, fine=fine,
                            admit=admit, k_hits=k_hits, fine_frac=1,
-                           two_level=two_level)
+                           two_level=two_level,
+                           resident_frac=resident_frac)
     return jnp.isfinite(t)

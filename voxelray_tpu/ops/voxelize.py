@@ -120,21 +120,25 @@ def voxelize_dense(tri_verts, origin, *, dims, voxel_size_static, window,
                index, and the serial-order rank within the triangle's true
                window — needed by the duplicate-preserving Vec encoding.
     scatter:   "flat" = one scatter element per (triangle, window slot)
-               into the flattened volume (round-1 scheme); "window" = ONE
-               scatter index per triangle writing its dense (WZ, WY, WX)
-               hit-mask block via lax.scatter_max into a window-padded
-               volume — ~WX*WY*WZ x fewer scatter indices, the round-2
-               fix for the measured scatter bound (0.86 Mtris/s with 94%
-               of the time in the flat scatter).  "auto" = window on
-               accelerators, flat on CPU.  Both produce identical
-               occupancy (max over {0,1} hits == OR).
+               into the flattened volume; "window" = ONE scatter index
+               per triangle writing its dense (WZ, WY, WX) hit-mask
+               block via lax.scatter_max into a window-padded volume.
+               Window has ~WX*WY*WZ x fewer scatter indices but XLA's
+               windowed-update lowering measured 14x slower on chip
+               (7487 vs 538 ms, 1M tris at 512^3), so "auto" = flat
+               everywhere; "window" remains for A/B.  Both produce
+               identical occupancy (max over {0,1} hits == OR).
 
     Returns occ (Z, Y, X) uint8 in {0,1}, set_calls (int32 scalar: total
     SAT hits including duplicates — the reference's m_voxelSet counter),
     and optionally (hit_mask, hit_lin, hit_rank).
     """
     if scatter == "auto":
-        scatter = "flat" if jax.default_backend() == "cpu" else "window"
+        # measured on chip (round 2, clean solo runs): the window-block
+        # scatter_max lowering is 14x SLOWER than flat element scatters
+        # (7487 vs 538 ms for 1M tris at 512^3) — XLA's windowed-update
+        # scatter path is the wrong tool; flat wins on every backend
+        scatter = "flat"
     nx, ny, nz = dims
     wx_c, wy_c, wz_c = window
     capacity = wx_c * wy_c * wz_c
