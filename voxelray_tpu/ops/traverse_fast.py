@@ -354,21 +354,31 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
             flive = has
             ovf = jnp.zeros((m,), bool)
 
-        # wide-row gathers only (per-index cost, round-2 profile): one
-        # (k, fcap) take for the candidate bricks, one (fcap, 7) row
-        # gather for the ray components
-        bricks_c = jnp.where(flive[None, :],
-                             jnp.take(hits, fsel_c, axis=1), -1)
-        r7 = jnp.stack([ox, oy, oz, dx, dy, dz, tmx], axis=1)[fsel_c]
+        if fcap < m:
+            # wide-row gathers only (per-index cost, round-2 profile):
+            # one (k, fcap) take for the candidate bricks, one (fcap, 7)
+            # row gather for the ray components
+            bricks_c = jnp.where(flive[None, :],
+                                 jnp.take(hits, fsel_c, axis=1), -1)
+            r7 = jnp.stack([ox, oy, oz, dx, dy, dz, tmx], axis=1)[fsel_c]
+            fx, fy, fz = r7[:, 0], r7[:, 1], r7[:, 2]
+            fdx, fdy, fdz = r7[:, 3], r7[:, 4], r7[:, 5]
+            ftmx = r7[:, 6]
+        else:
+            # fine_frac=1 (shadow rays): no compaction — skip the
+            # pointless stack + identity gather (profiled at ~10 ms per
+            # round on the full preset)
+            bricks_c = jnp.where(flive[None, :], hits, -1)
+            fx, fy, fz, fdx, fdy, fdz = ox, oy, oz, dx, dy, dz
+            ftmx = tmx
         # ONE gather for all k slots: (16, k*fcap) -> (k, 16, fcap)
         bl = jnp.maximum(bricks_c, 0).reshape(-1)
         words = jnp.take(accel.fine, bl.reshape(k_hits, fcap)
                          .reshape(-1), axis=1)
         words = words.reshape(16, k_hits, fcap).transpose(1, 0, 2)
         t_c, lin_c = fine_walk_multi(
-            r7[:, 0], r7[:, 1], r7[:, 2],
-            r7[:, 3], r7[:, 4], r7[:, 5],
-            bricks_c, words, tmn, r7[:, 6],
+            fx, fy, fz, fdx, fdy, fdz,
+            bricks_c, words, tmn, ftmx,
             dims=accel_static_dims, bdims=bdims, origin_key=origin_key,
             voxel_size=vs, bq=chunk)
 
@@ -428,10 +438,11 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
             sel_w = jnp.where(got, sel, n)
             best_t = best_t.at[sel_w].set(t, mode="drop")
             best_lin = best_lin.at[sel_w].set(lin, mode="drop")
-            new_act = (s4[:, 3] > 0) & ~got & (cont_s > 0) & live
-            state4 = state4.at[sel].set(
-                jnp.stack([scx, scy, scz, new_act.astype(jnp.int32)],
-                          axis=1), mode="drop")
+            if r < rounds - 1:  # final round's state is dead — skip the
+                new_act = (s4[:, 3] > 0) & ~got & (cont_s > 0) & live
+                state4 = state4.at[sel].set(  # (cap, 4) row scatter
+                    jnp.stack([scx, scy, scz, new_act.astype(jnp.int32)],
+                              axis=1), mode="drop")
         else:
             act = state4[:, 3] > 0
             t, lin, ncx, ncy, ncz, cont = one_round(
@@ -441,9 +452,10 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
             resolved = jnp.isfinite(t) & act
             best_t = jnp.where(resolved, t, best_t)
             best_lin = jnp.where(resolved, lin, best_lin)
-            new_act = act & ~resolved & (cont > 0)
-            state4 = jnp.stack(
-                [ncx, ncy, ncz, new_act.astype(jnp.int32)], axis=1)
+            if r < rounds - 1:  # final round's state is dead
+                new_act = act & ~resolved & (cont > 0)
+                state4 = jnp.stack(
+                    [ncx, ncy, ncz, new_act.astype(jnp.int32)], axis=1)
     return best_t, best_lin
 
 
