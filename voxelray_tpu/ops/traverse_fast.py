@@ -262,8 +262,7 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
     dxa, dya, dza = d[:, 0], d[:, 1], d[:, 2]
     rays8 = jnp.stack([oxa, oya, oza, dxa, dya, dza, t_max,
                        jnp.zeros_like(t_max)], axis=1)
-    state4 = jnp.stack([cx, cy, cz, active.astype(jnp.int32)], axis=1)
-    del cx, cy, cz
+    act_i = active.astype(jnp.int32)
 
     bdims, origin_key, vs, accel_static_dims = accel_static
     bx, by, _bz = bdims
@@ -416,15 +415,18 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
     for r in range(rounds):
         cap = caps[r]
         if cap < n:
-            active = state4[:, 3] > 0
-            pos = jnp.cumsum(active.astype(jnp.int32)) - 1
+            active = act_i > 0
+            pos = jnp.cumsum(act_i) - 1
             slot = jnp.where(active & (pos < cap), pos, cap)
             sel = jnp.full((cap,), n, jnp.int32).at[slot].set(
                 jnp.arange(n, dtype=jnp.int32), mode="drop")
             live = sel < n
             sel_c = jnp.minimum(sel, n - 1)
+            # packed ROW gathers (cheap) but scalar COLUMN write-backs:
+            # measured on chip a (cap, 4) row scatter costs 3x four
+            # 1-D scatters (45.7 vs 15.8 ms at full width)
             r8 = rays8[sel_c]          # (cap, 8) — one row gather
-            s4 = state4[sel_c]         # (cap, 4) — one row gather
+            s4 = jnp.stack([cx, cy, cz, act_i], axis=1)[sel_c]
             t, lin, scx, scy, scz, cont_s = one_round(
                 r8[:, 0], r8[:, 1], r8[:, 2],
                 r8[:, 3], r8[:, 4], r8[:, 5],
@@ -440,22 +442,22 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
             best_lin = best_lin.at[sel_w].set(lin, mode="drop")
             if r < rounds - 1:  # final round's state is dead — skip the
                 new_act = (s4[:, 3] > 0) & ~got & (cont_s > 0) & live
-                state4 = state4.at[sel].set(  # (cap, 4) row scatter
-                    jnp.stack([scx, scy, scz, new_act.astype(jnp.int32)],
-                              axis=1), mode="drop")
+                cx = cx.at[sel].set(scx, mode="drop")
+                cy = cy.at[sel].set(scy, mode="drop")
+                cz = cz.at[sel].set(scz, mode="drop")
+                act_i = act_i.at[sel].set(new_act.astype(jnp.int32),
+                                          mode="drop")
         else:
-            act = state4[:, 3] > 0
+            act = act_i > 0
             t, lin, ncx, ncy, ncz, cont = one_round(
-                oxa, oya, oza, dxa, dya, dza,
-                state4[:, 0], state4[:, 1], state4[:, 2],
+                oxa, oya, oza, dxa, dya, dza, cx, cy, cz,
                 act, t_min, t_max)
             resolved = jnp.isfinite(t) & act
             best_t = jnp.where(resolved, t, best_t)
             best_lin = jnp.where(resolved, lin, best_lin)
             if r < rounds - 1:  # final round's state is dead
-                new_act = act & ~resolved & (cont > 0)
-                state4 = jnp.stack(
-                    [ncx, ncy, ncz, new_act.astype(jnp.int32)], axis=1)
+                cx, cy, cz = ncx, ncy, ncz
+                act_i = (act & ~resolved & (cont > 0)).astype(jnp.int32)
     return best_t, best_lin
 
 
