@@ -288,7 +288,17 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
     use_l2 = (accel.coarse.shape[0] > 4 if two_level is None
               else bool(two_level))
 
-    def one_round(ox, oy, oz, dx, dy, dz, rcx, rcy, rcz, act, tmn, tmx):
+    # per-round candidate-queue depths: a plain int k_hits applies to
+    # every round; a tuple gives round r depth k_list[r] (the shadow
+    # path runs a deep first round and a shallow wide capacity round —
+    # the wide round's ff1 fine gather prices per k x cap whether lanes
+    # are alive or not)
+    k_list = (tuple(k_hits) if isinstance(k_hits, (tuple, list))
+              else (k_hits,) * rounds)
+    assert len(k_list) >= rounds
+
+    def one_round(ox, oy, oz, dx, dy, dz, rcx, rcy, rcz, act, tmn, tmx,
+                  fine_frac=fine_frac, k_hits=0):
         m = ox.shape[0]
         hits, ncx, ncy, ncz, cont = coarse_walk(
             ox, oy, oz, dx, dy, dz, rcx, rcy, rcz,
@@ -431,7 +441,8 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
                 r8[:, 0], r8[:, 1], r8[:, 2],
                 r8[:, 3], r8[:, 4], r8[:, 5],
                 s4[:, 0], s4[:, 1], s4[:, 2],
-                live & (s4[:, 3] > 0), t_min, r8[:, 6])
+                live & (s4[:, 3] > 0), t_min, r8[:, 6],
+                k_hits=k_list[r])
             # writes go through `sel` (empty slots hold the OOB index n
             # and get dropped) — clamped duplicates would race on ray
             # n-1.  Result writes additionally route non-hits to the
@@ -451,7 +462,7 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
             act = act_i > 0
             t, lin, ncx, ncy, ncz, cont = one_round(
                 oxa, oya, oza, dxa, dya, dza, cx, cy, cz,
-                act, t_min, t_max)
+                act, t_min, t_max, k_hits=k_list[r])
             resolved = jnp.isfinite(t) & act
             best_t = jnp.where(resolved, t, best_t)
             best_lin = jnp.where(resolved, lin, best_lin)
@@ -491,6 +502,8 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
                                batch_shape).reshape(-1)
     admit_f = None if admit is None else admit.reshape(-1)
+    if isinstance(k_hits, list):
+        k_hits = tuple(k_hits)  # hashable for the jit key
     t, lin = _trace_fast_impl(
         o, d, accel, jnp.float32(t_min), t_max_b, admit_f,
         accel_static=(accel.bdims, accel.origin_key, accel.voxel_size,
@@ -503,19 +516,22 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
 
 def any_hit_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
                       t_max=TMAX, rounds=2, chunk=64, fine="walk",
-                      admit=None, k_hits=6, two_level=None,
+                      admit=None, k_hits=(8, 4), two_level=None,
                       resident_frac=2):
     """True where some voxel accepts along the ray (shadow query).
 
-    k_hits=6 x rounds=2 keeps the original 12-occupied-brick coverage at
-    a third of the round count (260 -> ~102 ms on the full preset with
-    identical occlusions).  resident_frac=2 widens the second round's
-    buffer to n/2 so total ray capacity stays 0.75n: the admit path can
-    only start n/4 rays in round 1, and dense-admit scenes (every pixel
-    lit-and-facing, e.g. a wall close-up) need the remaining capacity to
-    drain the queue (test_any_hit_dense_admit_no_overflow_loss pins
-    this).  An any-hit ray still stops at its first accepted cell, so
-    queues deeper than needed stay wasted gather traffic.
+    k_hits=(8, 4) over rounds=2 keeps the original 12-occupied-brick
+    coverage at a third of the round count (260 -> ~100 ms on the full
+    preset with identical occlusions); the deep slots sit in round 1
+    where rays are dense, because the wide capacity round's ff1 fine
+    gather prices per k x cap whether lanes are alive or not.
+    resident_frac=2 widens the second round's buffer to n/2 so total
+    ray capacity stays 0.75n: the admit path can only start n/4 rays in
+    round 1, and dense-admit scenes (every pixel lit-and-facing, e.g. a
+    wall close-up) need the remaining capacity to drain the queue
+    (test_any_hit_dense_admit_no_overflow_loss pins this).  An any-hit
+    ray still stops at its first accepted cell, so queues deeper than
+    needed stay wasted gather traffic.
 
     fine_frac is pinned to 1: shadow rays START on surfaces, so nearly
     every admitted ray has a candidate brick immediately — a primary-ray
