@@ -169,6 +169,17 @@ def main():
     log(f"render: {t_render*1e3:.1f} ms -> {mrays:.1f} Mrays/s "
         f"(img mean {img_np.mean():.3f})")
 
+    # primary-only render (no shadow ray): BASELINE.json's north-star is
+    # stated in PRIMARY rays; the headline above stays the full
+    # recursion-2 pipeline (primary + shadow) like the reference's frame
+    def render_primary():
+        return render_image(scene, vi, pi, width=width, height=height,
+                            backend=backend, shadows=False)
+
+    t_prim, _ = time_fn(render_primary, iters=runs, warmup=1)
+    prim_mrays = width * height / t_prim / 1e6
+    log(f"primary-only: {t_prim*1e3:.1f} ms -> {prim_mrays:.1f} Mrays/s")
+
     # ---- on-chip parity gate --------------------------------------------
     if os.environ.get("BENCH_SKIP_PARITY"):
         parity_ok, parity = None, {}
@@ -184,6 +195,8 @@ def main():
         "voxelize_ms": round(t_build * 1e3, 2),
         "voxelize_mtris_per_s": round(len(f) / t_build / 1e6, 2),
         "render_ms": round(t_render * 1e3, 2),
+        "primary_mrays_s": round(prim_mrays, 2),
+        "primary_render_ms": round(t_prim * 1e3, 2),
         "occupied_voxels": n_occ,
         "backend": backend,
         "preset": preset,
