@@ -151,8 +151,18 @@ def main():
     log(f"voxelize: {t_build*1e3:.1f} ms ({len(f)/t_build/1e6:.2f} Mtris/s), "
         f"{n_occ} occupied")
 
-    # ---- render (timed) -----------------------------------------------
+    # ---- AABB extraction + memory (the reference Benchmaker triple:
+    # build ms / extract ms / bytes, hello_vulkan.h:224-239) -------------
     grid = GridBool.from_occupancy(occ, bb_min, vs)
+
+    def extract():
+        return grid.get_aabbs_fixed(capacity=1 << 20)
+
+    t_extract, aabbs = time_fn(extract, iters=max(1, runs // 2), warmup=1)
+    mem_bytes = grid.memory_usage_bytes()
+    log(f"aabb extract: {t_extract*1e3:.1f} ms, grid {mem_bytes} bytes")
+
+    # ---- render (timed) -----------------------------------------------
     scene = build_scene(models=None, grid=grid)
     center = (bb_min + bb_max) * 0.5
     cam = Camera(eye=tuple(center + np.asarray([0.9, 0.55, -0.9])
@@ -197,6 +207,8 @@ def main():
         "render_ms": round(t_render * 1e3, 2),
         "primary_mrays_s": round(prim_mrays, 2),
         "primary_render_ms": round(t_prim * 1e3, 2),
+        "aabb_extract_ms": round(t_extract * 1e3, 2),
+        "grid_bytes": int(mem_bytes),
         "occupied_voxels": n_occ,
         "backend": backend,
         "preset": preset,

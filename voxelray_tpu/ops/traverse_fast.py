@@ -296,6 +296,13 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
     k_list = (tuple(k_hits) if isinstance(k_hits, (tuple, list))
               else (k_hits,) * rounds)
     assert len(k_list) >= rounds
+    # fine_frac may also vary per round: the shadow path runs ff=2 in
+    # round 1 (its overflow rewinds into round 2's capacity) but MUST
+    # run ff=1 in the final round — last-round fine overflow has no
+    # retry and would silently drop results
+    ff_list = (tuple(fine_frac) if isinstance(fine_frac, (tuple, list))
+               else (fine_frac,) * rounds)
+    assert len(ff_list) >= rounds
 
     def one_round(ox, oy, oz, dx, dy, dz, rcx, rcy, rcz, act, tmn, tmx,
                   fine_frac=fine_frac, k_hits=0):
@@ -442,7 +449,7 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
                 r8[:, 3], r8[:, 4], r8[:, 5],
                 s4[:, 0], s4[:, 1], s4[:, 2],
                 live & (s4[:, 3] > 0), t_min, r8[:, 6],
-                k_hits=k_list[r])
+                k_hits=k_list[r], fine_frac=ff_list[r])
             # writes go through `sel` (empty slots hold the OOB index n
             # and get dropped) — clamped duplicates would race on ray
             # n-1.  Result writes additionally route non-hits to the
@@ -462,7 +469,8 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
             act = act_i > 0
             t, lin, ncx, ncy, ncz, cont = one_round(
                 oxa, oya, oza, dxa, dya, dza, cx, cy, cz,
-                act, t_min, t_max, k_hits=k_list[r])
+                act, t_min, t_max, k_hits=k_list[r],
+                fine_frac=ff_list[r])
             resolved = jnp.isfinite(t) & act
             best_t = jnp.where(resolved, t, best_t)
             best_lin = jnp.where(resolved, lin, best_lin)
@@ -504,6 +512,8 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
     admit_f = None if admit is None else admit.reshape(-1)
     if isinstance(k_hits, list):
         k_hits = tuple(k_hits)  # hashable for the jit key
+    if isinstance(fine_frac, list):
+        fine_frac = tuple(fine_frac)
     t, lin = _trace_fast_impl(
         o, d, accel, jnp.float32(t_min), t_max_b, admit_f,
         accel_static=(accel.bdims, accel.origin_key, accel.voxel_size,
@@ -539,9 +549,13 @@ def any_hit_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
     out missing on chip (69609 vs 82218 on the full preset) before this
     was pinned.
     """
+    # ff=(2, 1): round 1's fine buffer holds half the admitted rays —
+    # its overflow rewinds into round 2's n/2 capacity — while the final
+    # round stays full-width (last-round fine overflow has no retry)
+    ff = (2,) + (1,) * max(1, rounds - 1) if rounds > 1 else 1
     t, _ = trace_grid_fast(origins, dirs, accel, t_min=t_min, t_max=t_max,
                            rounds=rounds, chunk=chunk, fine=fine,
-                           admit=admit, k_hits=k_hits, fine_frac=1,
+                           admit=admit, k_hits=k_hits, fine_frac=ff,
                            two_level=two_level,
                            resident_frac=resident_frac)
     return jnp.isfinite(t)
