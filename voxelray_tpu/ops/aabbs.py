@@ -45,24 +45,64 @@ def aabbs_from_linear(lin, dims, origin, voxel_size):
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "dims",
-                                             "voxel_size_static"))
-def extract_aabbs_fixed(occ, origin, *, capacity, dims, voxel_size_static):
+                                             "voxel_size_static",
+                                             "word_capacity"))
+def extract_aabbs_fixed(occ, origin, *, capacity, dims, voxel_size_static,
+                        word_capacity=None):
     """Jitted compaction: occupancy (Z,Y,X) -> ((capacity, 6), count).
 
     Entries beyond `count` are zero.  Ordering is ascending linear index
     (x fastest), identical to the reference's sweep.  Cells beyond capacity
     are dropped (callers size capacity from count_occupied or mesh stats).
+
+    Two-phase word compaction (this is the getAabbs analog of the
+    reference's countr_zero word skip, voxelgridBool.cpp:18-52): scatter
+    cost on this TPU is per UPDATE (~132M/s), so the naive per-cell
+    compaction paid one update per GRID CELL (350 ms at 512^3).  Phase 1
+    packs cells into u32 words and compacts the nonzero words (n/32
+    updates); phase 2 expands only those words' 32 bit lanes and places
+    set cells by word-prefix-popcount rank (32*word_capacity updates).
+
+    word_capacity bounds the NONZERO WORD count like capacity bounds the
+    cell count — size it from stats (<= 1 + count nonzero words always
+    holds, so word_capacity=capacity is the safe default; dense grids
+    can pass count_occupied(occ)//4-ish for the full speedup).
     """
     flat = occ.reshape(-1).astype(bool)
     n = flat.shape[0]
-    pos = jnp.cumsum(flat.astype(jnp.int32)) - 1  # target slot per set cell
-    count = jnp.where(n > 0, pos[-1] + 1, 0).astype(jnp.int32)
-    lin = jnp.arange(n, dtype=jnp.int32)
-    keep = flat & (pos < capacity)
-    slot = jnp.where(keep, pos, capacity)  # dropped -> OOB slot
-    out_lin = jnp.zeros((capacity,), jnp.int32).at[slot].set(
-        jnp.where(keep, lin, 0), mode="drop"
-    )
+    nw = max(1, -(-n // 32))
+    if word_capacity is None:
+        word_capacity = capacity
+    wcap = min(nw, word_capacity)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    padded = jnp.pad(flat, (0, nw * 32 - n))
+    words = (padded.reshape(nw, 32).astype(jnp.uint32) << shifts).sum(
+        axis=1, dtype=jnp.uint32)
+    pops = jax.lax.population_count(words).astype(jnp.int32)
+    cell_prefix = jnp.cumsum(pops) - pops         # rank of word's 1st cell
+    count = (cell_prefix[-1] + pops[-1]).astype(jnp.int32)
+
+    # phase 1: compact nonzero-word INDICES (one scatter, nw updates)
+    nz = words != 0
+    wpos = jnp.cumsum(nz.astype(jnp.int32)) - 1
+    wkeep = nz & (wpos < wcap)
+    wslot = jnp.where(wkeep, wpos, wcap)
+    cwi = jnp.full((wcap,), nw, jnp.int32).at[wslot].set(
+        jnp.arange(nw, dtype=jnp.int32), mode="drop")
+    wlive = cwi < nw
+    cwi_c = jnp.minimum(cwi, nw - 1)
+    cw = jnp.where(wlive, words[cwi_c], 0)        # (wcap,) u32
+    crank = jnp.where(wlive, cell_prefix[cwi_c], capacity)
+
+    # phase 2: expand bits, place by rank (32 * wcap updates)
+    bits = ((cw[:, None] >> shifts) & 1).astype(jnp.int32)   # (wcap, 32)
+    in_word_rank = jnp.cumsum(bits, axis=1) - bits
+    rank = crank[:, None] + in_word_rank
+    keep = (bits > 0) & (rank < capacity)
+    slot = jnp.where(keep, rank, capacity)
+    lin2 = cwi_c[:, None] * 32 + jnp.arange(32, dtype=jnp.int32)
+    out_lin = jnp.zeros((capacity,), jnp.int32).at[slot.reshape(-1)].set(
+        jnp.where(keep, lin2, 0).reshape(-1), mode="drop")
     aabbs = aabbs_from_linear(out_lin, dims, origin, voxel_size_static)
     valid = jnp.arange(capacity) < count
     return jnp.where(valid[:, None], aabbs, 0.0), count
