@@ -155,8 +155,15 @@ def main():
     # build ms / extract ms / bytes, hello_vulkan.h:224-239) -------------
     grid = GridBool.from_occupancy(occ, bb_min, vs)
 
+    # word_capacity sized from stats like capacity itself: phase-2 work
+    # is 32 * word_capacity scatter updates, so an unsized default
+    # degenerates toward the old per-cell cost
+    from voxelray_tpu.ops.aabbs import count_nonzero_words
+    nzw = count_nonzero_words(occ)
+    wcap = -(-int(nzw * 1.1) // 8192) * 8192
+
     def extract():
-        return grid.get_aabbs_fixed(capacity=1 << 20)
+        return grid.get_aabbs_fixed(capacity=1 << 20, word_capacity=wcap)
 
     t_extract, aabbs = time_fn(extract, iters=max(1, runs // 2), warmup=1)
     mem_bytes = grid.memory_usage_bytes()

@@ -122,11 +122,16 @@ class GridBool:
         return aabbs_from_linear(jnp.asarray(lin), self.dims, self.origin,
                                  self.voxel_size)
 
-    def get_aabbs_fixed(self, capacity):
-        """Jit-friendly padded extraction: ((capacity, 6), count)."""
+    def get_aabbs_fixed(self, capacity, word_capacity=None):
+        """Jit-friendly padded extraction: ((capacity, 6), count).
+
+        word_capacity: optional nonzero-word bound (size from
+        ops.aabbs.count_nonzero_words with slack) — tightens the
+        two-phase extraction's scatter work; None is always safe."""
         return extract_aabbs_fixed(
             self.occupancy(), self.origin, capacity=capacity,
             dims=self.dims, voxel_size_static=self.voxel_size,
+            word_capacity=word_capacity,
         )
 
     def memory_usage_bytes(self):

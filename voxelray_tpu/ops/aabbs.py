@@ -112,6 +112,20 @@ def count_occupied(occ) -> int:
     return int(jnp.sum(occ.astype(jnp.int32)))
 
 
+def count_nonzero_words(occ) -> int:
+    """Number of nonzero 32-cell words in the flattened occupancy —
+    the stats source for extract_aabbs_fixed's word_capacity (size it
+    like capacity: from worst-case geometry, with slack)."""
+    flat = np.asarray(occ).reshape(-1).astype(bool)
+    if flat.size == 0:
+        return 0
+    nw = -(-flat.size // 32)
+    words = np.packbits(
+        np.pad(flat, (0, nw * 32 - flat.size)).reshape(nw, 32),
+        axis=1, bitorder="little").view(np.uint32)[:, 0]
+    return int((words != 0).sum())
+
+
 def extract_aabbs(grid) -> np.ndarray:
     """Host-facing extraction from a voxelize_mesh result dict or grid
     object with occ/dims/origin/voxel_size: exact-size (N, 6) float32."""
