@@ -112,3 +112,29 @@ def test_build_grid_dispatch(sphere):
         assert isinstance(build_grid(enc, v, f, VS), cls)
     with pytest.raises(ValueError):
         build_grid("nope", v, f, VS)
+
+
+def test_two_phase_extraction_word_capacity():
+    """extract_aabbs_fixed's two-phase path: a stats-sized word_capacity
+    must reproduce the default path bit-exactly; ascending linear order
+    is the reference contract (voxelgridBool.cpp:18-52)."""
+    import numpy as np
+    from voxelray_tpu.ops.aabbs import (aabbs_from_linear,
+                                        count_nonzero_words,
+                                        extract_aabbs_fixed)
+    rng = np.random.default_rng(21)
+    occ = (rng.random((12, 17, 33)) < 0.2).astype(np.uint8)
+    dims = (33, 17, 12)
+    origin = jnp.zeros(3, jnp.float32)
+    nzw = count_nonzero_words(occ)
+    lin_ref = np.flatnonzero(occ.reshape(-1).astype(bool)).astype(np.int32)
+    ref = np.asarray(aabbs_from_linear(jnp.asarray(lin_ref), dims, origin,
+                                       0.25))
+    for wc in (None, nzw, nzw + 7, 1 << 14):
+        a, c = extract_aabbs_fixed(jnp.asarray(occ), origin, capacity=4096,
+                                   dims=dims, voxel_size_static=0.25,
+                                   word_capacity=wc)
+        assert int(c) == len(lin_ref)
+        got = np.asarray(a)
+        assert np.array_equal(got[: len(lin_ref)], ref)
+        assert not got[len(lin_ref):].any()
