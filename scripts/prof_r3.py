@@ -1,0 +1,244 @@
+"""Round-3 profiling: targeted measurements driving this round's design.
+
+Questions (one JSON line each):
+  A. trace cost vs rounds at the full preset (k=8, ff=8, last-round ff=1)
+  B. glue primitive rates at n=2.07M: cumsum, stacks, row gathers, scatters
+  C. ray-coherence tiling A/B: raster-order vs 32x128-pixel-tile order
+  D. k_hits x rounds x ff sweep (with the forced last-round ff=1)
+  E. chunk (bq) sweep for the 64-row L1 table
+  F. lax.sort throughput (voxelize sort-based dedup feasibility)
+  G. scatter modes (set/add/max) at the voxelize update count
+  H. aabb extraction: word_capacity sizing + phase attribution
+  I. shadow pass config check
+
+Run as the ONLY TPU process:  JAX_PLATFORMS= python scripts/prof_r3.py
+Select stages:  PROF_STAGES=A,B,C  PROF_RUNS=3
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def time_call(fn, runs=3):
+    import jax
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn())
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / runs * 1e3, compile_s
+
+
+def main():
+    stages = os.environ.get("PROF_STAGES", "A,B,C,D,E,F,G,H,I").split(",")
+    runs = int(os.environ.get("PROF_RUNS", "3"))
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from voxelray_tpu.io import meshes
+    from voxelray_tpu.models.grids import GridBool
+    from voxelray_tpu.ops.geometry import grid_dims, mesh_bbox
+    from voxelray_tpu.ops.intersect import make_camera_rays
+    from voxelray_tpu.ops.traverse_fast import (build_accel,
+                                                trace_grid_fast,
+                                                any_hit_grid_fast)
+    from voxelray_tpu.render.camera import Camera
+
+    log(f"backend={jax.default_backend()}")
+    v, f = meshes.torus_knot(2, 3, 1024, 512)
+    grid_res, W, H = 512, 1920, 1080
+    bb_min, bb_max = mesh_bbox(v)
+    vs = float(max(bb_max - bb_min)) / grid_res
+    grid = GridBool.from_mesh(v, f, vs)
+    occ = grid.occupancy()
+    accel = build_accel(occ, grid.origin, grid.voxel_size)
+    cam = Camera(eye=(2.1, 1.4, -2.2), center=(0.0, 0.0, 0.0))
+    _, _, vi, pi = cam.matrices(W, H)
+    o, d = make_camera_rays(W, H, vi, pi)
+    o = o.reshape(-1, 3)
+    d = d.reshape(-1, 3)
+    n = o.shape[0]
+    log(f"dims={grid.dims} occupied={int(np.asarray(occ).sum())} n={n}")
+
+    def trace(oo, dd, **kw):
+        t, lin = trace_grid_fast(oo, dd, accel, **kw)
+        return t
+
+    def nhits(oo, dd, **kw):
+        t, _ = trace_grid_fast(oo, dd, accel, **kw)
+        return int(np.isfinite(np.asarray(t)).sum())
+
+    if "A" in stages:
+        for r in (1, 2, 3):
+            dt, cs = time_call(lambda r=r: trace(o, d, rounds=r), runs)
+            emit(stage="A", rounds=r, ms=round(dt, 2),
+                 hits=nhits(o, d, rounds=r), compile_s=round(cs, 1))
+
+    if "B" in stages:
+        x = jnp.arange(n, dtype=jnp.int32) % 7
+        r8 = jnp.stack([o[:, 0]] * 8, axis=1)
+        cap = -(-n // 4) // 8192 * 8192 + 8192
+        idx = jnp.arange(cap, dtype=jnp.int32) * 3 % n
+        vals = jnp.ones((cap,), jnp.float32)
+
+        prims = {
+            "cumsum_i32_n": jax.jit(lambda a: jnp.cumsum(a)),
+            "stack8_n": jax.jit(lambda a: jnp.stack([a + i for i in
+                                                     range(8)], axis=1)),
+            "rowgather8_cap": None,
+            "scatter_set_cap": None,
+            "colgather1_cap": None,
+        }
+        dt, _ = time_call(lambda: prims["cumsum_i32_n"](x), runs)
+        emit(stage="B", prim="cumsum_i32_n", ms=round(dt, 2))
+        dt, _ = time_call(lambda: prims["stack8_n"](o[:, 0]), runs)
+        emit(stage="B", prim="stack8_f32_n", ms=round(dt, 2))
+        g8 = jax.jit(lambda r, i: r[i])
+        dt, _ = time_call(lambda: g8(r8, idx), runs)
+        emit(stage="B", prim="rowgather8_cap", ms=round(dt, 2), cap=cap)
+        g1 = jax.jit(lambda r, i: r[i])
+        dt, _ = time_call(lambda: g1(o[:, 0], idx), runs)
+        emit(stage="B", prim="colgather1_cap", ms=round(dt, 2), cap=cap)
+        sc = jax.jit(lambda i, vv: jnp.zeros((n + 1,), jnp.float32)
+                     .at[i].set(vv, mode="drop"))
+        dt, _ = time_call(lambda: sc(idx, vals), runs)
+        emit(stage="B", prim="scatter_set_cap_f32", ms=round(dt, 2),
+             cap=cap)
+
+    if "C" in stages:
+        # tile permutation: (H, W) -> (W//128, H//8, 8, 128) blocks so one
+        # (32,128) kernel block = a 32x128-PIXEL rectangle
+        assert H % 8 == 0 and W % 128 == 0
+        perm = np.arange(H * W, dtype=np.int32).reshape(H, W)
+        perm = perm.reshape(H // 8, 8, W // 128, 128) \
+            .transpose(2, 0, 1, 3).reshape(-1)
+        ot = o[perm]
+        dt_ = d[perm]
+        t_ms, _ = time_call(lambda: trace(o, d, rounds=3), runs)
+        emit(stage="C", order="raster", ms=round(t_ms, 2))
+        t_ms, _ = time_call(lambda: trace(ot, dt_, rounds=3), runs)
+        emit(stage="C", order="tile32x128", ms=round(t_ms, 2),
+             hits_equal=nhits(ot, dt_, rounds=3) == nhits(o, d, rounds=3))
+        # 64x64-ish alt: (H//64, 64, W//64... W=1920 not /128-aligned per
+        # 64) -> use 16 rows x 128 cols tiles grouped 2x
+        perm2 = np.arange(H * W, dtype=np.int32).reshape(H, W) \
+            .reshape(H // 24, 24, W // 128, 128).transpose(2, 0, 1, 3) \
+            .reshape(-1)
+        ot2, dt2 = o[perm2], d[perm2]
+        t_ms, _ = time_call(lambda: trace(ot2, dt2, rounds=3), runs)
+        emit(stage="C", order="tile24x128", ms=round(t_ms, 2))
+
+    if "D" in stages:
+        cfgs = [
+            dict(rounds=2, k_hits=8, fine_frac=8),
+            dict(rounds=2, k_hits=12, fine_frac=8),
+            dict(rounds=2, k_hits=16, fine_frac=8),
+            dict(rounds=2, k_hits=(16, 8), fine_frac=8),
+            dict(rounds=3, k_hits=8, fine_frac=8),       # current default
+            dict(rounds=3, k_hits=8, fine_frac=16),
+            dict(rounds=2, k_hits=16, fine_frac=16),
+            dict(rounds=1, k_hits=24, fine_frac=8),
+            dict(rounds=1, k_hits=16, fine_frac=8),
+        ]
+        for cfg in cfgs:
+            dt, cs = time_call(lambda cfg=cfg: trace(o, d, **cfg), runs)
+            emit(stage="D", ms=round(dt, 2), hits=nhits(o, d, **cfg),
+                 compile_s=round(cs, 1), **{k: str(v) for k, v in
+                                            cfg.items()})
+
+    if "E" in stages:
+        for bq in (16, 32, 64):
+            dt, _ = time_call(
+                lambda bq=bq: trace(o, d, rounds=3, chunk=bq), runs)
+            emit(stage="E", bq=bq, ms=round(dt, 2))
+
+    if "F" in stages:
+        for sz in (4 << 20, 44 << 20):
+            keys = jnp.asarray(
+                np.random.default_rng(1).integers(
+                    0, 1 << 31, sz, dtype=np.int32))
+            srt = jax.jit(lambda k: jax.lax.sort(k))
+            dt, _ = time_call(lambda: srt(keys), runs)
+            emit(stage="F", prim="sort_i32", n=sz, ms=round(dt, 2),
+                 mkeys_per_s=round(sz / dt / 1e3, 1))
+            del keys
+
+    if "G" in stages:
+        nu = 44 << 20
+        tgt = 16 << 20
+        idx = jnp.asarray(np.random.default_rng(2).integers(
+            0, tgt, nu, dtype=np.int32))
+        ones8 = jnp.ones((nu,), jnp.uint8)
+        st = jax.jit(lambda i: jnp.zeros((tgt + 1,), jnp.uint8)
+                     .at[i].set(1, mode="drop"))
+        dt, _ = time_call(lambda: st(idx), runs)
+        emit(stage="G", prim="scatter_set_u8", updates=nu, ms=round(dt, 2),
+             mupd_per_s=round(nu / dt / 1e3, 1))
+        sm = jax.jit(lambda i: jnp.zeros((tgt + 1,), jnp.uint8)
+                     .at[i].max(1, mode="drop"))
+        dt, _ = time_call(lambda: sm(idx), runs)
+        emit(stage="G", prim="scatter_max_u8", updates=nu, ms=round(dt, 2),
+             mupd_per_s=round(nu / dt / 1e3, 1))
+        sa = jax.jit(lambda i: jnp.zeros((tgt + 1,), jnp.int32)
+                     .at[i].add(1, mode="drop"))
+        dt, _ = time_call(lambda: sa(idx), runs)
+        emit(stage="G", prim="scatter_add_i32", updates=nu,
+             ms=round(dt, 2), mupd_per_s=round(nu / dt / 1e3, 1))
+        # fewer, word-packed updates (the x-run packing hypothesis)
+        nu2 = 13 << 20
+        idx2 = idx[:nu2]
+        dt, _ = time_call(lambda: jax.jit(
+            lambda i: jnp.zeros((tgt + 1,), jnp.uint8)
+            .at[i].set(1, mode="drop"))(idx2), runs)
+        emit(stage="G", prim="scatter_set_u8", updates=nu2,
+             ms=round(dt, 2), mupd_per_s=round(nu2 / dt / 1e3, 1))
+
+    if "H" in stages:
+        from voxelray_tpu.ops.aabbs import (count_nonzero_words,
+                                            extract_aabbs_fixed)
+        occ_d = jnp.asarray(occ)
+        cnt = int(np.asarray(occ).astype(bool).sum())
+        nzw = count_nonzero_words(occ)
+        cap = -(-cnt // 4096) * 4096 + 4096
+        log(f"aabb: count={cnt} nzw={nzw} cap={cap}")
+        for wc in (None, nzw + 64, 2 * nzw):
+            fn = lambda wc=wc: extract_aabbs_fixed(
+                occ_d, jnp.asarray(grid.origin),
+                capacity=cap, dims=grid.dims,
+                voxel_size_static=grid.voxel_size, word_capacity=wc)[0]
+            dt, cs = time_call(fn, runs)
+            emit(stage="H", word_capacity=str(wc), ms=round(dt, 2),
+                 compile_s=round(cs, 1))
+
+    if "I" in stages:
+        hit_t = trace(o, d, rounds=3)
+        hit = jnp.isfinite(hit_t)
+        p = o + d * jnp.where(hit, hit_t, 1.0)[:, None]
+        ldir = jnp.asarray([0.45, 0.8, 0.4], jnp.float32)
+        ldir = ldir / jnp.linalg.norm(ldir)
+        ld = jnp.broadcast_to(ldir, p.shape)
+        adm = hit
+        dt, _ = time_call(lambda: any_hit_grid_fast(
+            p, ld, accel, admit=adm), runs)
+        emit(stage="I", what="any_hit_default", ms=round(dt, 2))
+
+    log("done")
+
+
+if __name__ == "__main__":
+    main()

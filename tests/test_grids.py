@@ -138,3 +138,40 @@ def test_two_phase_extraction_word_capacity():
         got = np.asarray(a)
         assert np.array_equal(got[: len(lin_ref)], ref)
         assert not got[len(lin_ref):].any()
+
+
+def test_undersized_word_capacity_clean_tail_drop():
+    """Regression (ADVICE r2 item 1): an UNDERSIZED word_capacity must
+    tail-drop like a capacity overflow — the first `kept` rows valid and
+    bit-exact, the rest zero (never cell-0 AABBs emitted as valid), with
+    count still the full popcount as the overflow signal."""
+    import numpy as np
+    from voxelray_tpu.ops.aabbs import (aabbs_from_linear,
+                                        count_nonzero_words,
+                                        extract_aabbs_fixed)
+    rng = np.random.default_rng(5)
+    occ = (rng.random((9, 13, 29)) < 0.25).astype(np.uint8)
+    dims = (29, 13, 9)
+    origin = jnp.zeros(3, jnp.float32)
+    nzw = count_nonzero_words(occ)
+    lin_ref = np.flatnonzero(occ.reshape(-1).astype(bool)).astype(np.int32)
+    ref = np.asarray(aabbs_from_linear(jnp.asarray(lin_ref), dims, origin,
+                                       0.25))
+    flat = occ.reshape(-1).astype(bool)
+    nw = -(-flat.size // 32)
+    words = np.packbits(
+        np.pad(flat, (0, nw * 32 - flat.size)).reshape(nw, 32),
+        axis=1, bitorder="little").view(np.uint32)[:, 0]
+    pops = np.array([bin(w).count("1") for w in words])
+    for wc in (1, nzw // 2, nzw - 1):
+        if wc < 1:
+            continue
+        a, c = extract_aabbs_fixed(jnp.asarray(occ), origin, capacity=4096,
+                                   dims=dims, voxel_size_static=0.25,
+                                   word_capacity=wc)
+        # cells of the first wc nonzero words, in linear order
+        kept = int(pops[words != 0][:wc].sum())
+        assert int(c) == len(lin_ref)        # overflow signal: c > valid
+        got = np.asarray(a)
+        assert np.array_equal(got[:kept], ref[:kept])
+        assert not got[kept:].any()

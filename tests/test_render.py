@@ -135,3 +135,17 @@ def test_mesh_only_scene(tmp_path):
     # lower half shows the plane, not the miss color
     miss = (np.asarray([1.0, 1.0, 1.0]) * 0.8) ** (1 / 2.2)
     assert not np.allclose(img[-1, W // 2, :3], miss, atol=1e-3)
+
+
+def test_fast_opts_list_values_hashable(bunny_scene):
+    """Regression (ADVICE r2 item 4): list-valued fast_opts (k_hits=[8,4])
+    must normalize to tuples for the jit key instead of raising."""
+    from voxelray_tpu.models.scene import build_scene
+    from voxelray_tpu.render.pipeline import render_image
+    scene, grid = bunny_scene
+    cam = Camera()
+    _, _, vi, pi = cam.matrices(48, 32)
+    img = render_image(scene, vi, pi, width=48, height=32, backend="fast",
+                       fast_opts={"k_hits": [8, 4], "rounds": 2,
+                                  "chunk": 8, "fine_frac": [2, 1]})
+    assert np.isfinite(np.asarray(img)).all()

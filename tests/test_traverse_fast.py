@@ -228,3 +228,26 @@ def test_any_hit_dense_admit_no_overflow_loss():
     assert np.array_equal(np.asarray(occl)[a],
                           np.isfinite(np.asarray(t_ref))[a])
     assert not np.asarray(occl)[~a].any()
+
+
+def test_last_round_fine_overflow_has_no_silent_miss():
+    """Regression (ADVICE r2 item 2): the FINAL round's fine buffer is
+    forced full-width regardless of the fine_frac knob — rounds=1 with a
+    narrow fine_frac on a dense-candidate scene (camera facing a solid
+    block) must still find every hit, because last-round overflow has no
+    retry round to rewind into."""
+    occ = np.ones((24, 24, 24), np.uint8)
+    accel = build_accel(occ, np.zeros(3, np.float32), 0.1)
+    W, H = 64, 48
+    cam = Camera(eye=(1.2, 1.2, -1.6), center=(1.2, 1.2, 1.2))
+    _, _, vi, pi = cam.matrices(W, H)
+    o, d = make_camera_rays(W, H, vi, pi)
+    t_d, lin_d = trace_grid_dda(
+        o, d, jnp.asarray(occ.reshape(-1)), jnp.zeros(3, jnp.float32),
+        dims=(24, 24, 24), voxel_size_static=0.1)
+    t_f, lin_f = trace_grid_fast(o, d, accel, chunk=8, rounds=1,
+                                 fine_frac=8)
+    hd = np.isfinite(np.asarray(t_d))
+    assert hd.mean() > 0.5
+    assert np.array_equal(hd, np.isfinite(np.asarray(t_f)))
+    assert np.array_equal(np.asarray(lin_d)[hd], np.asarray(lin_f)[hd])

@@ -104,7 +104,14 @@ def extract_aabbs_fixed(occ, origin, *, capacity, dims, voxel_size_static,
     out_lin = jnp.zeros((capacity,), jnp.int32).at[slot.reshape(-1)].set(
         jnp.where(keep, lin2, 0).reshape(-1), mode="drop")
     aabbs = aabbs_from_linear(out_lin, dims, origin, voxel_size_static)
-    valid = jnp.arange(capacity) < count
+    # Cells from words dropped by an undersized word_capacity are exactly
+    # the TAIL ranks (words compact in linear order, ranks ascend with
+    # word index), so clamping the valid mask to the PLACED cell count
+    # gives the same clean tail-drop semantics as a capacity overflow.
+    # `count` is still the full popcount: count > number of valid rows is
+    # the caller's overflow signal for either bound (ADVICE r2 item 1).
+    kept = jnp.sum(jnp.where(wkeep, pops, 0))
+    valid = jnp.arange(capacity) < jnp.minimum(count, kept)
     return jnp.where(valid[:, None], aabbs, 0.0), count
 
 

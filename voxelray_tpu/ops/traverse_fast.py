@@ -303,6 +303,12 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
     ff_list = (tuple(fine_frac) if isinstance(fine_frac, (tuple, list))
                else (fine_frac,) * rounds)
     assert len(ff_list) >= rounds
+    # The FINAL round's fine buffer is always full-width: last-round fine
+    # overflow has no retry round to rewind into, so any ff > 1 there
+    # silently drops hits on dense-candidate scenes (camera inside
+    # geometry).  any_hit pinned this invariant in round 2; the nearest
+    # -hit path now enforces it too (ADVICE r2 item 2).
+    ff_list = ff_list[: rounds - 1] + (1,) + ff_list[rounds:]
 
     def one_round(ox, oy, oz, dx, dy, dz, rcx, rcy, rcz, act, tmn, tmx,
                   fine_frac=fine_frac, k_hits=0):
@@ -498,11 +504,16 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
 
     admit: optional bool mask (batch shape) — only admitted rays trace
     (others return miss); the round-1 resident buffer is then compacted
-    to n/4, which is the shadow-ray fast path.  two_level forces the
-    super-brick walk on (default off: measured slower + hit-dropping on
-    chip, round 2).  fine_frac=F compacts candidate rays into an n/F
-    fine buffer (1 = no compaction).  resident_frac=F compacts straggler
-    rays into n/F buffers for rounds 2+ (1 = no resident compaction).
+    to n/4, which is the shadow-ray fast path.  two_level=None (default)
+    auto-enables the fused per-lane two-speed superbrick walk when the
+    L1 table is wide (accel.coarse rows > 4, i.e. big grids) — measured
+    bit-identical to the single-level walk on chip (210114/210114 hits
+    on the full preset) and faster there; narrow tables stay
+    single-level.  Pass True/False to force.  fine_frac=F compacts
+    candidate rays into an n/F fine buffer (1 = no compaction; the final
+    round is always forced to full width — see _trace_fast_impl).
+    resident_frac=F compacts straggler rays into n/F buffers for rounds
+    2+ (1 = no resident compaction).
     """
     batch_shape = origins.shape[:-1]
     o = origins.reshape(-1, 3)

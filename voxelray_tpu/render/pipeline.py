@@ -293,7 +293,11 @@ def render_image(scene: Scene, view_inv, proj_inv, *, width, height,
     chunk, k_hits, fine_frac, two_level, ...) applied when
     backend="fast"; hashed into the jit key.
     """
-    opts = tuple(sorted(fast_opts.items())) if fast_opts else ()
+    # normalize list values (k_hits=[8, 4] etc.) to tuples: opts is part
+    # of the jit key and must be hashable (ADVICE r2 item 4)
+    opts = tuple(sorted(
+        (k, tuple(v) if isinstance(v, list) else v)
+        for k, v in fast_opts.items())) if fast_opts else ()
     return _render_jit(
         scene, jnp.asarray(view_inv), jnp.asarray(proj_inv),
         jnp.asarray(light.position, jnp.float32),
