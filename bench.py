@@ -197,11 +197,47 @@ def main():
     prim_mrays = width * height / t_prim / 1e6
     log(f"primary-only: {t_prim*1e3:.1f} ms -> {prim_mrays:.1f} Mrays/s")
 
+    # ---- full-scale exhaustiveness gate (VERDICT r2 item 2) ------------
+    # The fast backend's k_hits x rounds coverage bound plus the drain
+    # loop must find EXACTLY the hits the exhaustive dda finds at the
+    # HEADLINE resolution/grid — the 320x180 parity gate below never
+    # stressed the bound.  unresolved == 0 is the trace's own proof that
+    # no ray was dropped by buffer sizing.
+    if os.environ.get("BENCH_SKIP_PARITY"):
+        exhaustive = {}
+    else:
+        from voxelray_tpu.ops.intersect import make_camera_rays
+        from voxelray_tpu.ops.traverse import trace_grid_dda
+        from voxelray_tpu.ops.traverse_fast import trace_grid_fast
+        o_fs, d_fs = make_camera_rays(width, height, jnp.asarray(vi),
+                                      jnp.asarray(pi))
+        t_f, lin_f, unresolved = trace_grid_fast(
+            o_fs, d_fs, scene.accel, return_stats=True)
+        hf = np.isfinite(np.asarray(t_f))
+        t_d, lin_d = trace_grid_dda(
+            o_fs, d_fs, scene.occ_flat, scene.grid_origin,
+            dims=scene.grid_dims,
+            voxel_size_static=scene.grid_voxel_size)
+        hd = np.isfinite(np.asarray(t_d))
+        exhaustive = {
+            "fast_hits": int(hf.sum()),
+            "dda_hits": int(hd.sum()),
+            "unresolved": int(unresolved),
+            "hits_equal": bool(np.array_equal(hf, hd)),
+            "cells_equal": bool(np.array_equal(
+                np.asarray(lin_f)[hf & hd], np.asarray(lin_d)[hf & hd])),
+        }
+        log(f"full-scale exhaustiveness: {exhaustive}")
+
     # ---- on-chip parity gate --------------------------------------------
     if os.environ.get("BENCH_SKIP_PARITY"):
         parity_ok, parity = None, {}
     else:
         parity_ok, parity = parity_gate()
+        parity.update(exhaustive)
+        parity_ok = parity_ok and all(
+            bool(exhaustive[k]) for k in ("hits_equal", "cells_equal")) \
+            and exhaustive["unresolved"] == 0
 
     print(json.dumps({
         "metric": f"primary-ray Mrays/s @{width}x{height}, "

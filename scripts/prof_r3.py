@@ -43,7 +43,7 @@ def time_call(fn, runs=3):
 
 
 def main():
-    stages = os.environ.get("PROF_STAGES", "A,B,C,D,E,F,G,H,I").split(",")
+    stages = os.environ.get("PROF_STAGES", "A,B,C,D,E,F,G,H,I,J").split(",")
     runs = int(os.environ.get("PROF_RUNS", "3"))
 
     import jax
@@ -67,7 +67,10 @@ def main():
     grid = GridBool.from_mesh(v, f, vs)
     occ = grid.occupancy()
     accel = build_accel(occ, grid.origin, grid.voxel_size)
-    cam = Camera(eye=(2.1, 1.4, -2.2), center=(0.0, 0.0, 0.0))
+    center = (bb_min + bb_max) * 0.5
+    cam = Camera(eye=tuple(center + np.asarray([0.9, 0.55, -0.9])
+                           * float(max(bb_max - bb_min))),
+                 center=tuple(center))
     _, _, vi, pi = cam.matrices(W, H)
     o, d = make_camera_rays(W, H, vi, pi)
     o = o.reshape(-1, 3)
@@ -88,6 +91,12 @@ def main():
             dt, cs = time_call(lambda r=r: trace(o, d, rounds=r), runs)
             emit(stage="A", rounds=r, ms=round(dt, 2),
                  hits=nhits(o, d, rounds=r), compile_s=round(cs, 1))
+        # drain off = the round-2 behavior (coverage-bounded)
+        dt, cs = time_call(lambda: trace(o, d, rounds=3, drain=False),
+                           runs)
+        emit(stage="A", rounds=3, drain=False, ms=round(dt, 2),
+             hits=nhits(o, d, rounds=3, drain=False),
+             compile_s=round(cs, 1))
 
     if "B" in stages:
         x = jnp.arange(n, dtype=jnp.int32) % 7
@@ -119,6 +128,18 @@ def main():
         dt, _ = time_call(lambda: sc(idx, vals), runs)
         emit(stage="B", prim="scatter_set_cap_f32", ms=round(dt, 2),
              cap=cap)
+        # B2: transposed layout — (8, n) column gather vs (n, 8) rows
+        r8t = jnp.stack([o[:, 0]] * 8, axis=0)      # (8, n)
+        gt = jax.jit(lambda r, i: jnp.take(r, i, axis=1))
+        dt, _ = time_call(lambda: gt(r8t, idx), runs)
+        emit(stage="B", prim="colgather_8xn_T", ms=round(dt, 2), cap=cap)
+        idx_s = idx[: cap // 4]
+        dt, _ = time_call(lambda: gt(r8t, idx_s), runs)
+        emit(stage="B", prim="colgather_8xn_T", ms=round(dt, 2),
+             cap=cap // 4)
+        dt, _ = time_call(lambda: g8(r8, idx_s), runs)
+        emit(stage="B", prim="rowgather8_cap", ms=round(dt, 2),
+             cap=cap // 4)
 
     if "C" in stages:
         # tile permutation: (H, W) -> (W//128, H//8, 8, 128) blocks so one
@@ -147,13 +168,13 @@ def main():
         cfgs = [
             dict(rounds=2, k_hits=8, fine_frac=8),
             dict(rounds=2, k_hits=12, fine_frac=8),
-            dict(rounds=2, k_hits=16, fine_frac=8),
             dict(rounds=2, k_hits=(16, 8), fine_frac=8),
             dict(rounds=3, k_hits=8, fine_frac=8),       # current default
             dict(rounds=3, k_hits=8, fine_frac=16),
-            dict(rounds=2, k_hits=16, fine_frac=16),
-            dict(rounds=1, k_hits=24, fine_frac=8),
+            dict(rounds=2, k_hits=8, fine_frac=16),
             dict(rounds=1, k_hits=16, fine_frac=8),
+            dict(rounds=2, k_hits=8, fine_frac=8, resident_frac=8),
+            dict(rounds=2, k_hits=8, fine_frac=8, drain_k=16),
         ]
         for cfg in cfgs:
             dt, cs = time_call(lambda cfg=cfg: trace(o, d, **cfg), runs)
@@ -225,6 +246,23 @@ def main():
             emit(stage="H", word_capacity=str(wc), ms=round(dt, 2),
                  compile_s=round(cs, 1))
 
+    if "J" in stages:
+        from voxelray_tpu.models.scene import build_scene
+        from voxelray_tpu.render.pipeline import render_image
+        scene = build_scene(models=None, grid=grid)
+        _, _, vi2, pi2 = cam.matrices(W, H)
+
+        def rend(shadows):
+            return render_image(scene, vi2, pi2, width=W, height=H,
+                                backend="fast", shadows=shadows)
+
+        dt, cs = time_call(lambda: rend(True), runs)
+        emit(stage="J", what="render_shadows", ms=round(dt, 2),
+             mrays=round(W * H / dt / 1e3, 2), compile_s=round(cs, 1))
+        dt, cs = time_call(lambda: rend(False), runs)
+        emit(stage="J", what="render_primary", ms=round(dt, 2),
+             mrays=round(W * H / dt / 1e3, 2), compile_s=round(cs, 1))
+
     if "I" in stages:
         hit_t = trace(o, d, rounds=3)
         hit = jnp.isfinite(hit_t)
@@ -233,9 +271,21 @@ def main():
         ldir = ldir / jnp.linalg.norm(ldir)
         ld = jnp.broadcast_to(ldir, p.shape)
         adm = hit
-        dt, _ = time_call(lambda: any_hit_grid_fast(
-            p, ld, accel, admit=adm), runs)
-        emit(stage="I", what="any_hit_default", ms=round(dt, 2))
+        occl_ref = None
+        for label, kw in (
+                ("default_r2_k84", dict()),
+                ("r1_k8", dict(rounds=1, k_hits=8)),
+                ("r1_k12", dict(rounds=1, k_hits=12)),
+                ("r2_k44", dict(rounds=2, k_hits=(4, 4))),
+        ):
+            fn = lambda kw=kw: any_hit_grid_fast(p, ld, accel, admit=adm,
+                                                 **kw)
+            dt, cs = time_call(fn, runs)
+            occl = int(np.asarray(fn()).sum())
+            if occl_ref is None:
+                occl_ref = occl
+            emit(stage="I", what=label, ms=round(dt, 2), occluded=occl,
+                 match=occl == occl_ref, compile_s=round(cs, 1))
 
     log("done")
 

@@ -149,3 +149,24 @@ def test_fast_opts_list_values_hashable(bunny_scene):
                        fast_opts={"k_hits": [8, 4], "rounds": 2,
                                   "chunk": 8, "fine_frac": [2, 1]})
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_tiled_fast_render_matches_dda(bunny_scene):
+    """The coherence-tiled fast path (active when H%8==0 and W%128==0)
+    must produce the same image as the untiled dda backend — tiling is a
+    pure ray reorder, inverted on the framebuffer."""
+    from voxelray_tpu.render.pipeline import (_can_tile, _tile_rays,
+                                              _untile_rays, render_scene)
+    import jax.numpy as jnp
+    scene, grid = bunny_scene
+    W, H = 128, 24
+    assert _can_tile(H, W)
+    x = jnp.arange(H * W * 3, dtype=jnp.float32).reshape(H, W, 3)
+    assert np.array_equal(np.asarray(_untile_rays(
+        _tile_rays(x, H, W), H, W)), np.asarray(x))
+    cam = Camera()
+    img_f = np.asarray(render_scene(scene, cam, width=W, height=H,
+                                    backend="fast"))
+    img_d = np.asarray(render_scene(scene, cam, width=W, height=H,
+                                    backend="dda"))
+    assert np.allclose(img_f, img_d, rtol=2e-5, atol=1e-6)

@@ -251,3 +251,40 @@ def test_last_round_fine_overflow_has_no_silent_miss():
     assert hd.mean() > 0.5
     assert np.array_equal(hd, np.isfinite(np.asarray(t_f)))
     assert np.array_equal(np.asarray(lin_d)[hd], np.asarray(lin_f)[hd])
+
+
+def test_drain_makes_trace_exhaustive():
+    """The drain loop (round 3) removes the k_hits x rounds coverage
+    bound: with rounds=1, k_hits=2 on a scene where rays cross many
+    occupied-but-not-accepting bricks, the fast trace must still match
+    the exhaustive dda exactly and report unresolved == 0."""
+    rng = np.random.default_rng(7)
+    occ = np.zeros((64, 64, 64), np.uint8)
+    # one corner voxel per 8^3 brick: every brick is "occupied" but most
+    # rays cross it without an accepted cell -> long candidate chains
+    occ[::8, ::8, ::8] = 1
+    # plus a back wall (far z) so rays hit only AFTER crossing ~7
+    # occupied-but-empty bricks -- past the k_hits x rounds coverage
+    occ[60, :, :] = (rng.random((64, 64)) < 0.5)
+    accel = build_accel(occ, np.zeros(3, np.float32), 0.1)
+    W, H = 48, 32
+    cam = Camera(eye=(3.2, 3.4, -2.5), center=(3.2, 3.2, 3.2))
+    _, _, vi, pi = cam.matrices(W, H)
+    o, d = make_camera_rays(W, H, vi, pi)
+    t_d, lin_d = trace_grid_dda(
+        o, d, jnp.asarray(occ.reshape(-1)),
+        jnp.zeros(3, jnp.float32), dims=(64, 64, 64),
+        voxel_size_static=0.1)
+    t_f, lin_f, unresolved = trace_grid_fast(
+        o, d, accel, chunk=8, rounds=1, k_hits=2, return_stats=True)
+    hd = np.isfinite(np.asarray(t_d))
+    hf = np.isfinite(np.asarray(t_f))
+    assert int(unresolved) == 0
+    assert np.array_equal(hd, hf)
+    assert np.array_equal(np.asarray(lin_d)[hd], np.asarray(lin_f)[hd])
+    assert np.allclose(np.asarray(t_d)[hd], np.asarray(t_f)[hd],
+                       rtol=2e-6, atol=0)
+    # without the drain the same config drops hits (the round-2 bound)
+    t_n, _ = trace_grid_fast(o, d, accel, chunk=8, rounds=1, k_hits=2,
+                             drain=False)
+    assert np.isfinite(np.asarray(t_n)).sum() < hd.sum()

@@ -227,6 +227,10 @@ def fine_walk_multi(ox, oy, oz, dx, dy, dz, bricks, words, t_min, t_max, *,
     """
     k = bricks.shape[0]
     n = ox.shape[0]
+    # VMEM budget: the (k, 16, bq, 128) words block dominates at
+    # k*16*bq*128*4 bytes (x2 double-buffered); k=16 at bq=32 measured
+    # OOM (17M > the 16M scoped limit), so bq shrinks as k grows
+    bq = min(bq, max(8, (512 // max(k, 1)) // 8 * 8))
     per_block = bq * LANES
     n_blocks = max(1, -(-n // per_block))
     pad = n_blocks * per_block - n

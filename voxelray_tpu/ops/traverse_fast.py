@@ -132,8 +132,17 @@ def build_accel(occ, origin, voxel_size) -> BrickAccel:
     )
 
 
-def _init_state(o, d, accel, t_max):
-    """Entry brick + active mask for each ray (mirrors the DDA init)."""
+def _init_state(o, d, accel, t_max, t_min=None):
+    """Entry brick + active mask for each ray (mirrors the DDA init).
+
+    t_min (per-ray, optional) additionally fast-forwards the START of the
+    walk to the cell containing o + d*t_min: any cell wholly before that
+    point has slab t0 < t_min and the fine accept (t0 >= t_min) would
+    reject it anyway, so skipping it is free — and the tri-grid marcher
+    (ops/tri_accel.py) depends on it to make forward progress instead of
+    re-walking from the grid entry each march round.  Shares the +1e-7
+    start slop (and its ulp-edge class) with the t=0 clamp the dda
+    reference also applies."""
     bx, by, bz = accel.bdims
     bw = jnp.float32(accel.voxel_size * BRICK)
     origin = accel.origin
@@ -145,8 +154,12 @@ def _init_state(o, d, accel, t_max):
     tf = jnp.maximum(tbot, ttop)
     t_enter = jnp.maximum(jnp.maximum(tn[:, 0], tn[:, 1]), tn[:, 2])
     t_exit = jnp.minimum(jnp.minimum(tf[:, 0], tf[:, 1]), tf[:, 2])
-    t_start = jnp.maximum(t_enter, 0.0) + 1e-7
-    ok = (t_exit > jnp.maximum(t_enter, 0.0)) & (t_start <= t_max)
+    lo = jnp.maximum(t_enter, 0.0)
+    if t_min is not None:
+        lo = jnp.maximum(lo, t_min)
+    t_start = lo + 1e-7
+    ok = (t_exit > jnp.maximum(t_enter, 0.0)) & (t_start <= t_max) \
+        & (t_start <= t_exit + 1e-7)
     p = o + d * t_start[:, None]
     cell = jnp.clip(jnp.floor((p - origin) / bw).astype(jnp.int32), 0,
                     jnp.asarray([bx - 1, by - 1, bz - 1], jnp.int32))
@@ -162,6 +175,7 @@ def _fine_resolve(o, d, brick_lin, accel, t_min, t_max, chunk=32768):
     t = +inf where no accepted cell.
     """
     n = o.shape[0]
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     if n > chunk:
         # python-loop chunking (straight-line under jit): gathers inside
         # lax.map/scan bodies are ~40x slower on this TPU
@@ -173,10 +187,11 @@ def _fine_resolve(o, d, brick_lin, accel, t_min, t_max, chunk=32768):
             return jnp.pad(x, cfg).reshape((n_chunks, chunk) + x.shape[1:])
 
         po, pd, pb, pt = prep(o), prep(d), prep(brick_lin), prep(t_max)
+        pn = prep(t_min)
         ts, lins = [], []
         for c in range(n_chunks):
             t, lin = _fine_resolve_block(po[c], pd[c], pb[c], pt[c],
-                                         accel, t_min)
+                                         accel, pn[c])
             ts.append(t)
             lins.append(lin)
         return (jnp.concatenate(ts)[:n], jnp.concatenate(lins)[:n])
@@ -226,7 +241,7 @@ def _fine_resolve_block(o, d, brick_lin, t_max, accel, t_min):
         t0 = jnp.maximum(t0, jnp.minimum(tb, tt))
         t1 = jnp.minimum(t1, jnp.maximum(tb, tt))
     accept = (t1 > jnp.maximum(t0, 0.0)) & (t0 > 0.0) \
-        & (t0 >= t_min) & (t0 <= t_max[:, None]) \
+        & (t0 >= t_min[:, None]) & (t0 <= t_max[:, None]) \
         & bits & in_dims & has[:, None]
     t0m = jnp.where(accept, t0, jnp.inf)
     arg = jnp.argmin(t0m, axis=1)
@@ -241,13 +256,16 @@ def _fine_resolve_block(o, d, brick_lin, t_max, accel, t_min):
     jax.jit,
     static_argnames=("accel_static", "rounds", "chunk", "fine", "k_hits",
                      "fine_frac", "admit_frac", "two_level",
-                     "resident_frac"),
+                     "resident_frac", "drain", "drain_frac", "drain_k"),
 )
 def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
                      rounds, chunk, fine="walk", k_hits=4, fine_frac=4,
-                     admit_frac=4, two_level=None, resident_frac=4):
+                     admit_frac=4, two_level=None, resident_frac=4,
+                     drain=True, drain_frac=64, drain_k=8):
     n = o.shape[0]
-    cx, cy, cz, active = _init_state(o, d, accel, t_max)
+    cx, cy, cz, active = _init_state(
+        o, d, accel, t_max,
+        t_min if getattr(t_min, 'ndim', 0) else None)
     if admit is not None:
         active = active & admit
     best_t = jnp.full((n,), jnp.inf, jnp.float32)
@@ -260,8 +278,12 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
     # the ~11 scalar gathers per straggler round into two row gathers.
     oxa, oya, oza = o[:, 0], o[:, 1], o[:, 2]
     dxa, dya, dza = d[:, 0], d[:, 1], d[:, 2]
+    # col 7 carries per-ray t_min (scalar t_min broadcasts) so compacted
+    # rounds can gather it with the other ray constants — the triangle
+    # -grid marcher advances t_min per ray between traces
+    t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     rays8 = jnp.stack([oxa, oya, oza, dxa, dya, dza, t_max,
-                       jnp.zeros_like(t_max)], axis=1)
+                       t_min_b], axis=1)
     act_i = active.astype(jnp.int32)
 
     bdims, origin_key, vs, accel_static_dims = accel_static
@@ -382,10 +404,12 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
             # row gather for the ray components
             bricks_c = jnp.where(flive[None, :],
                                  jnp.take(hits, fsel_c, axis=1), -1)
-            r7 = jnp.stack([ox, oy, oz, dx, dy, dz, tmx], axis=1)[fsel_c]
+            r7 = jnp.stack([ox, oy, oz, dx, dy, dz, tmx, tmn],
+                           axis=1)[fsel_c]
             fx, fy, fz = r7[:, 0], r7[:, 1], r7[:, 2]
             fdx, fdy, fdz = r7[:, 3], r7[:, 4], r7[:, 5]
             ftmx = r7[:, 6]
+            ftmn = r7[:, 7]
         else:
             # fine_frac=1 (shadow rays): no compaction — skip the
             # pointless stack + identity gather (profiled at ~10 ms per
@@ -393,6 +417,7 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
             bricks_c = jnp.where(flive[None, :], hits, -1)
             fx, fy, fz, fdx, fdy, fdz = ox, oy, oz, dx, dy, dz
             ftmx = tmx
+            ftmn = tmn
         # ONE gather for all k slots: (16, k*fcap) -> (k, 16, fcap)
         bl = jnp.maximum(bricks_c, 0).reshape(-1)
         words = jnp.take(accel.fine, bl.reshape(k_hits, fcap)
@@ -400,7 +425,7 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
         words = words.reshape(16, k_hits, fcap).transpose(1, 0, 2)
         t_c, lin_c = fine_walk_multi(
             fx, fy, fz, fdx, fdy, fdz,
-            bricks_c, words, tmn, ftmx,
+            bricks_c, words, ftmn, ftmx,
             dims=accel_static_dims, bdims=bdims, origin_key=origin_key,
             voxel_size=vs, bq=chunk)
 
@@ -454,7 +479,7 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
                 r8[:, 0], r8[:, 1], r8[:, 2],
                 r8[:, 3], r8[:, 4], r8[:, 5],
                 s4[:, 0], s4[:, 1], s4[:, 2],
-                live & (s4[:, 3] > 0), t_min, r8[:, 6],
+                live & (s4[:, 3] > 0), r8[:, 7], r8[:, 6],
                 k_hits=k_list[r], fine_frac=ff_list[r])
             # writes go through `sel` (empty slots hold the OOB index n
             # and get dropped) — clamped duplicates would race on ray
@@ -464,26 +489,116 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
             sel_w = jnp.where(got, sel, n)
             best_t = best_t.at[sel_w].set(t, mode="drop")
             best_lin = best_lin.at[sel_w].set(lin, mode="drop")
-            if r < rounds - 1:  # final round's state is dead — skip the
-                new_act = (s4[:, 3] > 0) & ~got & (cont_s > 0) & live
-                cx = cx.at[sel].set(scx, mode="drop")
-                cy = cy.at[sel].set(scy, mode="drop")
-                cz = cz.at[sel].set(scz, mode="drop")
-                act_i = act_i.at[sel].set(new_act.astype(jnp.int32),
-                                          mode="drop")
+            # state write-back runs for EVERY round (the drain and the
+            # unresolved count both need post-final-round state); rays
+            # that did not fit this round's resident buffer keep their
+            # stale-but-valid state and act_i=1, so the drain serves them
+            new_act = (s4[:, 3] > 0) & ~got & (cont_s > 0) & live
+            cx = cx.at[sel].set(scx, mode="drop")
+            cy = cy.at[sel].set(scy, mode="drop")
+            cz = cz.at[sel].set(scz, mode="drop")
+            act_i = act_i.at[sel].set(new_act.astype(jnp.int32),
+                                      mode="drop")
         else:
             act = act_i > 0
             t, lin, ncx, ncy, ncz, cont = one_round(
                 oxa, oya, oza, dxa, dya, dza, cx, cy, cz,
-                act, t_min, t_max, k_hits=k_list[r],
+                act, t_min_b, t_max, k_hits=k_list[r],
                 fine_frac=ff_list[r])
             resolved = jnp.isfinite(t) & act
             best_t = jnp.where(resolved, t, best_t)
             best_lin = jnp.where(resolved, lin, best_lin)
-            if r < rounds - 1:  # final round's state is dead
-                cx, cy, cz = ncx, ncy, ncz
-                act_i = (act & ~resolved & (cont > 0)).astype(jnp.int32)
-    return best_t, best_lin
+            cx, cy, cz = ncx, ncy, ncz
+            act_i = (act & ~resolved & (cont > 0)).astype(jnp.int32)
+
+    if not drain:
+        return best_t, best_lin, jnp.sum(act_i)
+
+    # ---- exhaustiveness drain (VERDICT r2 item 2) -----------------------
+    # Rays still active after the static rounds (crossed more occupied
+    # bricks than k_hits x rounds covers without an accepted cell) drain
+    # to empty through a TWO-LEVEL loop: the outer loop compacts actives
+    # from full width into a small fixed domain (n/drain_frac) and the
+    # inner loop walks that domain until every ray resolves or exits; the
+    # outer loop repeats while actives remain, so dense-candidate scenes
+    # whose straggler count exceeds the domain (a camera inside the mesh
+    # was measured losing 600k rays with a single fixed-cap pass) stay
+    # EXACT, just slower.  In the common case no ray survives the static
+    # rounds and the outer while runs ZERO iterations (one any() check —
+    # the compaction itself moved inside the loop body, so a fully
+    # drained trace pays nothing).  Inner bound is static and sufficient:
+    # a ray crosses at most bx+by+bz+3 bricks, each iteration consumes
+    # drain_k occupied bricks or retires the ray.  Gathers inside while
+    # bodies run ~40x slower on this TPU — acceptable here because the
+    # loop almost never executes.
+    from .pallas.brick_fine import fine_walk_multi
+    cap_d = cap_up(-(-n // drain_frac))
+    bxx, byy, bzz = bdims
+    max_iters = (bxx + byy + bzz + 3 + drain_k - 1) // drain_k + 1
+    outer_cap = -(-n // cap_d) + 1
+
+    def outer_cond(st):
+        return jnp.logical_and(jnp.any(st[0] > 0), st[6] < outer_cap)
+
+    def outer_body(st):
+        act_i, cx, cy, cz, best_t, best_lin, outer = st
+        active = act_i > 0
+        pos = jnp.cumsum(act_i) - 1
+        slot = jnp.where(active & (pos < cap_d), pos, cap_d)
+        sel = jnp.full((cap_d,), n, jnp.int32).at[slot].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")
+        live = sel < n
+        sel_c = jnp.minimum(sel, n - 1)
+        r8 = rays8[sel_c]
+        s4 = jnp.stack([cx, cy, cz, act_i], axis=1)[sel_c]
+        dox, doy, doz = r8[:, 0], r8[:, 1], r8[:, 2]
+        ddx, ddy, ddz = r8[:, 3], r8[:, 4], r8[:, 5]
+        dtmx = r8[:, 6]
+        dtmn = r8[:, 7]
+
+        def drain_cond(dst):
+            return jnp.logical_and(jnp.any(dst[0] > 0),
+                                   dst[6] < max_iters)
+
+        def drain_body(dst):
+            dact, dcx, dcy, dcz, bt, bl, it = dst
+            hits, ncx, ncy, ncz, cont = coarse_walk(
+                dox, doy, doz, ddx, ddy, ddz, dcx, dcy, dcz,
+                dact, dtmx, accel.coarse, accel.l2 if use_l2 else None,
+                bdims=bdims, origin_key=origin_key, brick_world=bw,
+                bq=chunk, k_hits=drain_k)
+            bricks_c = jnp.where((dact > 0)[None, :], hits, -1)
+            bl_idx = jnp.maximum(bricks_c, 0).reshape(-1)
+            words = jnp.take(accel.fine, bl_idx, axis=1)
+            words = words.reshape(16, drain_k, cap_d).transpose(1, 0, 2)
+            t_c, lin_c = fine_walk_multi(
+                dox, doy, doz, ddx, ddy, ddz, bricks_c, words, dtmn,
+                dtmx, dims=accel_static_dims, bdims=bdims,
+                origin_key=origin_key, voxel_size=vs, bq=chunk)
+            got = jnp.isfinite(t_c) & (dact > 0)
+            idx = jnp.where(got, sel, n)
+            bt = bt.at[idx].set(t_c, mode="drop")
+            bl = bl.at[idx].set(lin_c, mode="drop")
+            ndact = ((dact > 0) & ~got & (cont > 0)).astype(jnp.int32)
+            return (ndact, ncx, ncy, ncz, bt, bl, it + 1)
+
+        init = ((live & (s4[:, 3] > 0)).astype(jnp.int32),
+                s4[:, 0], s4[:, 1], s4[:, 2], best_t, best_lin,
+                jnp.int32(0))
+        dact, _, _, _, best_t, best_lin, _ = jax.lax.while_loop(
+            drain_cond, drain_body, init)
+        # retire the served rays (dact is 0 unless the impossible inner
+        # cap bit); rays that overflowed cap_d keep act_i = 1 and the
+        # next outer pass serves them
+        act_i = act_i.at[sel].set(dact, mode="drop")
+        return (act_i, cx, cy, cz, best_t, best_lin, outer + 1)
+
+    act_i, _, _, _, best_t, best_lin, _ = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (act_i, cx, cy, cz, best_t, best_lin, jnp.int32(0)))
+    # unresolved is 0 unless an iteration cap bit (both caps are true
+    # upper bounds, so this is a defensive invariant, not a drop path)
+    return best_t, best_lin, jnp.sum(act_i)
 
 
 def _tuned_chunk(accel, chunk):
@@ -499,8 +614,17 @@ def _tuned_chunk(accel, chunk):
 def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
                     t_max=TMAX, rounds=3, chunk=64, fine="walk",
                     admit=None, k_hits=8, two_level=None, fine_frac=8,
-                    resident_frac=4):
+                    resident_frac=4, drain=True, drain_frac=64,
+                    drain_k=8, return_stats=False):
     """(t, cell_lin) nearest voxel hit; same contract as trace_grid_dda.
+
+    drain=True (default) makes the trace EXHAUSTIVE: rays still active
+    after the static rounds (more occupied bricks crossed than
+    k_hits x rounds covers) compact into an n/drain_frac domain and a
+    statically-bounded while_loop walks them to resolution — zero
+    iterations when the static rounds already drained the queue.
+    return_stats=True additionally returns n_unresolved (rays that
+    overflowed the drain domain; 0 = provably exhaustive result).
 
     admit: optional bool mask (batch shape) — only admitted rays trace
     (others return miss); the round-1 resident buffer is then compacted
@@ -525,13 +649,20 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
         k_hits = tuple(k_hits)  # hashable for the jit key
     if isinstance(fine_frac, list):
         fine_frac = tuple(fine_frac)
-    t, lin = _trace_fast_impl(
-        o, d, accel, jnp.float32(t_min), t_max_b, admit_f,
+    t_min_in = jnp.asarray(t_min, jnp.float32)
+    if t_min_in.ndim:
+        t_min_in = t_min_in.reshape(-1)
+    t, lin, unresolved = _trace_fast_impl(
+        o, d, accel, t_min_in, t_max_b, admit_f,
         accel_static=(accel.bdims, accel.origin_key, accel.voxel_size,
                       accel.dims),
         rounds=rounds, chunk=_tuned_chunk(accel, chunk), fine=fine,
         k_hits=k_hits, two_level=two_level, fine_frac=fine_frac,
-        resident_frac=resident_frac)
+        resident_frac=resident_frac, drain=drain, drain_frac=drain_frac,
+        drain_k=drain_k)
+    if return_stats:
+        return (t.reshape(batch_shape), lin.reshape(batch_shape),
+                unresolved)
     return t.reshape(batch_shape), lin.reshape(batch_shape)
 
 

@@ -267,6 +267,31 @@ def render_rays(scene: Scene, origins, dirs, light_position,
     return jnp.where(any_hit[..., None], color, miss)
 
 
+_TILE_H, _TILE_W = 8, 128
+
+
+def _can_tile(height, width):
+    return height % _TILE_H == 0 and width % _TILE_W == 0
+
+
+def _tile_rays(x, height, width):
+    """(H, W, C) -> (N, C) in tile order: consecutive kernel rows cover an
+    (8, 128)-pixel rectangle and tiles stack COLUMN-major, so a (32, 128)
+    walk block sees a 32x128-pixel image rectangle instead of two full
+    1920-wide raster rows.  Coherent blocks retire together (the Pallas
+    while-loop runs until the slowest lane).  Pure reshape/transpose —
+    no gather."""
+    c = x.shape[-1]
+    t = x.reshape(height // _TILE_H, _TILE_H, width // _TILE_W, _TILE_W, c)
+    return t.transpose(2, 0, 1, 3, 4).reshape(-1, c)
+
+
+def _untile_rays(x, height, width):
+    c = x.shape[-1]
+    t = x.reshape(width // _TILE_W, height // _TILE_H, _TILE_H, _TILE_W, c)
+    return t.transpose(1, 2, 0, 3, 4).reshape(height, width, c)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("scene_static", "width", "height", "backend",
@@ -276,9 +301,15 @@ def _render_jit(scene, view_inv, proj_inv, light_position, light_intensity,
                 light_type, clear_color, *, scene_static, width, height,
                 backend, shadows, fast_opts=()):
     origins, dirs = make_camera_rays(width, height, view_inv, proj_inv)
+    tiled = backend == "fast" and _can_tile(height, width)
+    if tiled:
+        origins = _tile_rays(origins, height, width)
+        dirs = _tile_rays(dirs, height, width)
     rgb = render_rays(scene, origins, dirs, light_position, light_intensity,
                       light_type, clear_color, backend=backend,
                       shadows=shadows, fast_opts=fast_opts)
+    if tiled:
+        rgb = _untile_rays(rgb, height, width)
     rgba = jnp.concatenate([rgb, jnp.ones(rgb.shape[:-1] + (1,),
                                           jnp.float32)], axis=-1)
     return shading.gamma_post(rgba)
