@@ -311,13 +311,51 @@ def test_jpeg_decode_vs_pillow(tmp_path, mode, size, subsampling, quality):
     assert np.percentile(err, 99) <= 30, np.percentile(err, 99)
 
 
-def test_jpeg_progressive_rejected(tmp_path):
+@pytest.mark.parametrize("mode,size,subsampling,quality", [
+    ("RGB", (70, 57), 0, 90),    # 4:4:4
+    ("RGB", (64, 48), 2, 50),    # 4:2:0 + heavy quantization
+    ("L", (40, 24), 0, 85),      # grayscale
+])
+def test_jpeg_progressive_vs_pillow(tmp_path, mode, size, subsampling,
+                                    quality):
+    """Progressive (SOF2) decode — spectral selection + successive
+    approximation scans — matches Pillow within DCT tolerance
+    (the stb_image format tail, hello_vulkan.cpp:321-331)."""
     PIL = pytest.importorskip("PIL.Image")
-    img = np.zeros((16, 16, 3), np.uint8)
+    rng = np.random.default_rng(7)
+    y, x = np.mgrid[0: size[1], 0: size[0]]
+    img = np.stack([np.sin(x / 7.0) * 127 + 128,
+                    np.cos(y / 5.0) * 100 + 120,
+                    (x + 2 * y) % 256], axis=-1)
+    img = np.clip(img + rng.normal(0, 10, img.shape), 0,
+                  255).astype(np.uint8)
+    pim = PIL.fromarray(img if mode == "RGB" else img[..., 0], mode)
     p = str(tmp_path / "prog.jpg")
-    PIL.fromarray(img).save(p, "JPEG", progressive=True)
+    pim.save(p, "JPEG", progressive=True, quality=quality,
+             subsampling=subsampling)
+    # confirm the encoder really wrote SOF2
+    assert b"\xff\xc2" in open(p, "rb").read()
+
     from voxelray_tpu.io.jpeg import read_jpeg
+    got = read_jpeg(p).astype(np.int32)
+    want = np.asarray(PIL.open(p).convert("RGB"), np.int32)
+    if got.shape[-1] == 1:
+        got = got.repeat(3, axis=-1)
+    assert got.shape == want.shape
+    err = np.abs(got - want)
+    assert err.mean() < 3.0, err.mean()
+    assert np.percentile(err, 99) <= 30, np.percentile(err, 99)
+
+
+def test_jpeg_unsupported_rejected(tmp_path):
+    """Arithmetic/lossless variants still raise; load_texture falls back
+    to magenta rather than raising (hello_vulkan.cpp:323-331)."""
+    from voxelray_tpu.io.jpeg import read_jpeg
+    # hand-built SOF3 (lossless) header after SOI
+    p = str(tmp_path / "bad.jpg")
+    with open(p, "wb") as fh:
+        fh.write(b"\xff\xd8\xff\xc3\x00\x0b\x08\x00\x10\x00\x10\x01"
+                 b"\x01\x11\x00\xff\xd9")
     with pytest.raises(ValueError):
         read_jpeg(p)
-    # load_texture falls back to magenta rather than raising
     assert np.allclose(load_texture(p), [[[1.0, 0.0, 1.0]]])

@@ -1,14 +1,19 @@
-"""Baseline JPEG decoder (pure Python + numpy, no external deps).
+"""JPEG decoder (pure Python + numpy, no external deps).
 
-Covers the stb_image subset that matters for textures: baseline
-sequential DCT (SOF0), 8-bit, grayscale or YCbCr 4:4:4 / 4:2:2 / 4:2:0,
-restart markers.  Progressive (SOF2), arithmetic coding, and 12-bit
-precision raise ValueError (callers fall back to magenta like a failed
-stb load, hello_vulkan.cpp:323-331).
+Covers the stb_image subset that matters for textures
+(/root/reference/src/hello_vulkan.cpp:321-331 loads textures through
+stb_image): baseline sequential DCT (SOF0), extended sequential (SOF1),
+and **progressive** (SOF2) with spectral selection + successive
+approximation; 8-bit, grayscale or YCbCr 4:4:4 / 4:2:2 / 4:2:0, restart
+markers.  Arithmetic coding, hierarchical, and 12-bit precision raise
+ValueError (callers fall back to magenta like a failed stb load,
+hello_vulkan.cpp:323-331).
 
 The entropy decode is a Python bit-reader (fine for texture-sized
 images); dequant + IDCT + upsampling + color convert are vectorized
-numpy over all blocks at once.
+numpy over all blocks at once.  Progressive scans accumulate into the
+same per-component coefficient planes until EOI, then reconstruct once
+(ITU T.81 Annex G decoding procedures).
 """
 from __future__ import annotations
 
@@ -95,6 +100,16 @@ class _BitReader:
             self.pos += 1
         self.pos += 2  # FF Dn
 
+    def end_of_segment(self):
+        """Skip to the next marker (end of this scan's entropy data)."""
+        self.nbits = 0
+        p = self.pos
+        while p < len(self.data):
+            if self.data[p] == 0xFF and self.data[p + 1] != 0x00:
+                return p
+            p += 1
+        return len(self.data)
+
 
 class _RestartMarker(Exception):
     pass
@@ -106,7 +121,7 @@ def _extend(v, n):
 
 
 def read_jpeg(path: str) -> np.ndarray:
-    """Decode a baseline JPEG -> (H, W, 3|1) uint8."""
+    """Decode a baseline/extended/progressive JPEG -> (H, W, 3|1) uint8."""
     with open(path, "rb") as fh:
         data = fh.read()
     if data[:2] != b"\xff\xd8":
@@ -118,7 +133,8 @@ def read_jpeg(path: str) -> np.ndarray:
     frame = None
     restart_interval = 0
     pos = 2
-    while pos < len(data):
+    saw_scan = False
+    while pos < len(data) - 1:
         if data[pos] != 0xFF:
             pos += 1
             continue
@@ -126,6 +142,8 @@ def read_jpeg(path: str) -> np.ndarray:
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
+        if marker == 0xD9:  # EOI
+            break
         (seglen,) = struct.unpack_from(">H", data, pos)
         seg = data[pos + 2: pos + seglen]
         if marker == 0xDB:  # DQT
@@ -148,7 +166,7 @@ def read_jpeg(path: str) -> np.ndarray:
                 (huff_dc if tc == 0 else huff_ac)[th] = _Huff(counts,
                                                               symbols)
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), \
                 seg[5]
             if prec != 8:
@@ -158,24 +176,234 @@ def read_jpeg(path: str) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], \
                     seg[8 + 3 * c]
                 comps.append(dict(id=cid, hs=hv >> 4, vs=hv & 15, tq=tq))
-            frame = dict(h=h, w=w, comps=comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = dict(h=h, w=w, comps=comps,
+                         progressive=marker == 0xC2)
+            _alloc_coef(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG unsupported")
+            raise ValueError("lossless/arithmetic/hierarchical JPEG "
+                             "unsupported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
-            scan = {}
+            scomps = []
             for c in range(ns):
                 cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
-                scan[cid] = (tabs >> 4, tabs & 15)
-            return _decode_scan(data, pos + seglen, frame, scan, qt,
-                                huff_dc, huff_ac, restart_interval)
+                scomps.append((cid, tabs >> 4, tabs & 15))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            a = seg[3 + 2 * ns]
+            ah, al = a >> 4, a & 15
+            pos = _entropy_scan(data, pos + seglen, frame, scomps,
+                                ss, se, ah, al, huff_dc, huff_ac,
+                                restart_interval)
+            saw_scan = True
+            continue
         pos += seglen
-    raise ValueError("no scan data")
+    if not saw_scan:
+        raise ValueError("no scan data")
+    return _reconstruct(frame, qt)
+
+
+def _alloc_coef(frame):
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    frame["mcux"] = mcux = -(-w // (8 * hmax))
+    frame["mcuy"] = mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcux * c["hs"]
+        c["bh"] = mcuy * c["vs"]
+        # non-interleaved scan block dims (T.81 A.1.1: the component's
+        # own sampled size, NOT padded to whole MCUs)
+        c["nbw"] = -(- (-(-w * c["hs"] // hmax)) // 8)
+        c["nbh"] = -(- (-(-h * c["vs"] // vmax)) // 8)
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int32)
+        c["pred"] = 0
+        c["eobrun"] = 0
+
+
+def _entropy_scan(data, pos, frame, scomps, ss, se, ah, al,
+                  huff_dc, huff_ac, restart_interval):
+    """Decode one scan's entropy data into the coefficient planes.
+
+    Sequential frames arrive as one full-spectrum scan (ss=0, se=63,
+    ah=al=0) and take the same path as a progressive DC+AC first scan.
+    Returns the stream position after the scan's entropy segment.
+    """
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    sel = [(by_id[cid], tdc, tac) for cid, tdc, tac in scomps]
+    progressive = frame["progressive"]
+    br = _BitReader(data, pos)
+
+    for c, _, _ in sel:
+        c["pred"] = 0
+        c["eobrun"] = 0
+
+    def reset_restart():
+        br.align_restart()
+        for c, _, _ in sel:
+            c["pred"] = 0
+            c["eobrun"] = 0
+
+    try:
+        if len(sel) == 1:
+            # non-interleaved scan (T.81 A.2.2): block raster over the
+            # component's OWN sampled dims (not padded to whole MCUs).
+            # Progressive AC scans are always this shape; grayscale and
+            # per-component sequential scans collapse to it too.
+            c, tdc, tac = sel[0]
+            n_blocks = c["nbw"] * c["nbh"]
+            for b in range(n_blocks):
+                if restart_interval and b and b % restart_interval == 0:
+                    reset_restart()
+                row = (b // c["nbw"]) * c["bw"] + b % c["nbw"]
+                _decode_block(br, c, row, tdc, tac, ss, se, ah, al,
+                              huff_dc, huff_ac, progressive)
+        else:
+            # interleaved MCU order (T.81 A.2.3)
+            n_mcu = frame["mcux"] * frame["mcuy"]
+            for m in range(n_mcu):
+                if restart_interval and m and m % restart_interval == 0:
+                    reset_restart()
+                my, mx = divmod(m, frame["mcux"])
+                for c, tdc, tac in sel:
+                    for by in range(c["vs"]):
+                        for bx in range(c["hs"]):
+                            row = (my * c["vs"] + by) * c["bw"] \
+                                + (mx * c["hs"] + bx)
+                            _decode_block(br, c, row, tdc, tac,
+                                          ss, se, ah, al,
+                                          huff_dc, huff_ac, progressive)
+    except _RestartMarker:
+        raise ValueError("unexpected restart marker")
+    except IndexError:
+        pass  # truncated stream: keep what we decoded
+
+    return br.end_of_segment()
+
+
+def _decode_block(br, c, row, tdc, tac, ss, se, ah, al,
+                  huff_dc, huff_ac, progressive):
+    blk = c["coef"][row]
+    if not progressive:
+        # full-spectrum sequential block (T.81 F.2.2)
+        s = br.decode(huff_dc[tdc])
+        diff = _extend(br.read_bits(s), s) if s else 0
+        c["pred"] += diff
+        blk[0] = c["pred"]
+        k = 1
+        while k < 64:
+            rs = br.decode(huff_ac[tac])
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                break
+            blk[k] = _extend(br.read_bits(s), s)
+            k += 1
+        return
+
+    if ss == 0:
+        # DC scan (T.81 G.2: Se must be 0 in a DC progressive scan)
+        if ah == 0:  # first pass
+            s = br.decode(huff_dc[tdc])
+            diff = _extend(br.read_bits(s), s) if s else 0
+            c["pred"] += diff
+            blk[0] = c["pred"] << al
+        else:        # refinement: one bit per block
+            if br.read_bit():
+                blk[0] |= 1 << al
+        return
+
+    # AC scans
+    if ah == 0:
+        # first pass (T.81 G.1.2.2): EOB runs + new coefficients at
+        # magnitude 1<<al
+        if c["eobrun"] > 0:
+            c["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = br.decode(huff_ac[tac])
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:
+                    c["eobrun"] = (1 << r) - 1
+                    if r:
+                        c["eobrun"] += br.read_bits(r)
+                    break
+                k += 16
+            else:
+                k += r
+                if k > se:
+                    break
+                blk[k] = _extend(br.read_bits(s), s) << al
+                k += 1
+        return
+
+    # AC refinement pass (T.81 G.1.2.3 / libjpeg decode_mcu_AC_refine):
+    # every already-nonzero coefficient in the band consumes one
+    # correction bit as the scan pointer passes it; zero coefficients
+    # count against the run length r, and a new +-1<<al lands where the
+    # run ends.
+    bit = 1 << al
+
+    def refine_nonzero(k):
+        if br.read_bit():
+            v = blk[k]
+            if not (abs(v) & bit):
+                blk[k] = v + bit if v >= 0 else v - bit
+
+    if c["eobrun"] > 0:
+        c["eobrun"] -= 1
+        for k in range(ss, se + 1):
+            if blk[k]:
+                refine_nonzero(k)
+        return
+
+    k = ss
+    while k <= se:
+        rs = br.decode(huff_ac[tac])
+        r, s = rs >> 4, rs & 15
+        newval = 0
+        if s == 0:
+            if r < 15:
+                # EOB run starts here: refine the rest of the band,
+                # then the next eobrun-1 blocks refine-only
+                c["eobrun"] = (1 << r) - 1
+                if r:
+                    c["eobrun"] += br.read_bits(r)
+                for kk in range(k, se + 1):
+                    if blk[kk]:
+                        refine_nonzero(kk)
+                return
+            # r == 15: skip 16 ZERO coefficients (nonzeros refine in
+            # passing, not counted)
+        else:
+            if s != 1:
+                raise ValueError("bad AC refinement magnitude")
+            newval = bit if br.read_bit() else -bit
+        while k <= se:
+            if blk[k]:
+                refine_nonzero(k)
+            else:
+                if r == 0:
+                    break
+                r -= 1
+            k += 1
+        if newval and k <= se:
+            blk[k] = newval
+        k += 1
 
 
 def _upsample2(plane: np.ndarray, axis: int) -> np.ndarray:
@@ -190,63 +418,11 @@ def _upsample2(plane: np.ndarray, axis: int) -> np.ndarray:
     return out
 
 
-def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
-                 restart_interval):
+def _reconstruct(frame, qt):
+    """Dequant + IDCT + upsample + color convert, vectorized per comp."""
     comps = frame["comps"]
     h, w = frame["h"], frame["w"]
-    hmax = max(c["hs"] for c in comps)
-    vmax = max(c["vs"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-
-    # coefficient storage per component (zigzag order, block-major)
-    for c in comps:
-        c["bw"] = mcux * c["hs"]
-        c["bh"] = mcuy * c["vs"]
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int32)
-        c["pred"] = 0
-
-    br = _BitReader(data, pos)
-    n_mcu = mcux * mcuy
-    for m in range(n_mcu):
-        if restart_interval and m and m % restart_interval == 0:
-            br.align_restart()
-            for c in comps:
-                c["pred"] = 0
-        my, mx = divmod(m, mcux)
-        for c in comps:
-            tdc, tac = scan[c["id"]]
-            for by in range(c["vs"]):
-                for bx in range(c["hs"]):
-                    blk = np.zeros(64, np.int32)
-                    try:
-                        s = br.decode(huff_dc[tdc])
-                        diff = _extend(br.read_bits(s), s) if s else 0
-                        c["pred"] += diff
-                        blk[0] = c["pred"]
-                        k = 1
-                        while k < 64:
-                            rs = br.decode(huff_ac[tac])
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                break
-                            blk[k] = _extend(br.read_bits(s), s)
-                            k += 1
-                    except _RestartMarker:
-                        raise ValueError("unexpected restart marker")
-                    except IndexError:
-                        pass  # truncated stream: keep what we decoded
-                    row = (my * c["vs"] + by) * c["bw"] \
-                        + (mx * c["hs"] + bx)
-                    c["coef"][row] = blk
-
-    # dequant + IDCT, vectorized over all blocks per component
+    hmax, vmax = frame["hmax"], frame["vmax"]
     planes = []
     for c in comps:
         # DQT tables and entropy-coded coefficients are both in zigzag
