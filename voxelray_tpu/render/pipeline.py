@@ -96,6 +96,19 @@ def _sample_texture(textures, tex_meta, layer, uv, lod=None):
     return jnp.where((layer >= 0)[..., None], c, 1.0)
 
 
+def _trace_triangles(scene: Scene, origins, dirs, t_min, t_max):
+    """Nearest triangle hit: tri-grid march when the scene carries a
+    triangle acceleration structure (the reference's triangle BLAS,
+    hello_vulkan.cpp:596-635), chunked brute otherwise."""
+    if scene.tri_accel is not None:
+        from ..ops.tri_accel import trace_triangles_grid
+        return trace_triangles_grid(origins, dirs, scene.tri_accel,
+                                    t_min=t_min, t_max=t_max)
+    return trace_triangles_brute(origins, dirs, scene.tri_v0,
+                                 scene.tri_v1, scene.tri_v2,
+                                 t_min=t_min, t_max=t_max)
+
+
 def _trace_voxels(scene: Scene, origins, dirs, t_min, t_max, backend,
                   fast_opts=()):
     if backend == "octree" and scene.octree is not None:
@@ -138,9 +151,14 @@ def _any_hit(scene: Scene, origins, dirs, t_min, t_max, backend,
              admit=None, fast_opts=()):
     occluded = jnp.zeros(origins.shape[:-1], bool)
     if scene.n_triangles:
-        occluded |= any_hit_triangles_brute(
-            origins, dirs, scene.tri_v0, scene.tri_v1, scene.tri_v2,
-            t_min=t_min, t_max=t_max)
+        if scene.tri_accel is not None:
+            from ..ops.tri_accel import any_hit_triangles_grid
+            occluded |= any_hit_triangles_grid(
+                origins, dirs, scene.tri_accel, t_min=t_min, t_max=t_max)
+        else:
+            occluded |= any_hit_triangles_brute(
+                origins, dirs, scene.tri_v0, scene.tri_v1, scene.tri_v2,
+                t_min=t_min, t_max=t_max)
     if backend == "octree" and scene.octree is not None:
         from ..ops.octree_traverse import any_hit_octree
         occluded |= any_hit_octree(origins, dirs, scene.octree,
@@ -176,9 +194,8 @@ def render_rays(scene: Scene, origins, dirs, light_position,
     """Trace + shade a ray batch; returns linear-space RGB (..., 3)."""
     # ---- closest hit over both geometry kinds --------------------------
     if scene.n_triangles:
-        t_tri, tri_id, bu, bv = trace_triangles_brute(
-            origins, dirs, scene.tri_v0, scene.tri_v1, scene.tri_v2,
-            t_min=t_min, t_max=t_max)
+        t_tri, tri_id, bu, bv = _trace_triangles(scene, origins, dirs,
+                                                 t_min, t_max)
     else:
         t_tri = jnp.full(origins.shape[:-1], jnp.inf, jnp.float32)
         tri_id = jnp.full(origins.shape[:-1], -1, jnp.int32)
@@ -358,8 +375,8 @@ def render_scene(scene: Scene, camera: Camera = Camera(), *, width=1280,
 def _aov_jit(scene, view_inv, proj_inv, *, width, height, backend):
     origins, dirs = make_camera_rays(width, height, view_inv, proj_inv)
     if scene.n_triangles:
-        t_tri, tri_id, bu, bv = trace_triangles_brute(
-            origins, dirs, scene.tri_v0, scene.tri_v1, scene.tri_v2)
+        t_tri, tri_id, bu, bv = _trace_triangles(scene, origins, dirs,
+                                                 TMIN, TMAX)
     else:
         t_tri = jnp.full(origins.shape[:-1], jnp.inf, jnp.float32)
         tri_id = jnp.full(origins.shape[:-1], -1, jnp.int32)
