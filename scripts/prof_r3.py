@@ -168,13 +168,17 @@ def main():
         cfgs = [
             dict(rounds=2, k_hits=8, fine_frac=8),
             dict(rounds=2, k_hits=12, fine_frac=8),
-            dict(rounds=2, k_hits=(16, 8), fine_frac=8),
             dict(rounds=3, k_hits=8, fine_frac=8),       # current default
-            dict(rounds=3, k_hits=8, fine_frac=16),
             dict(rounds=2, k_hits=8, fine_frac=16),
+            dict(rounds=1, k_hits=8, fine_frac=8),
+            dict(rounds=1, k_hits=12, fine_frac=8),
             dict(rounds=1, k_hits=16, fine_frac=8),
             dict(rounds=2, k_hits=8, fine_frac=8, resident_frac=8),
-            dict(rounds=2, k_hits=8, fine_frac=8, drain_k=16),
+            dict(rounds=2, k_hits=8, fine_frac=8, resident_frac=16),
+            dict(rounds=1, k_hits=8, fine_frac=8, drain_frac=16),
+            dict(rounds=1, k_hits=8, fine_frac=8, drain_k=16),
+            dict(rounds=2, k_hits=8, fine_frac=8, drain_frac=16,
+                 drain_k=16),
         ]
         for cfg in cfgs:
             dt, cs = time_call(lambda cfg=cfg: trace(o, d, **cfg), runs)
@@ -263,6 +267,30 @@ def main():
         emit(stage="J", what="render_primary", ms=round(dt, 2),
              mrays=round(W * H / dt / 1e3, 2), compile_s=round(cs, 1))
 
+    if "V" in stages:
+        # voxelize with the effective-window bucketing (dead +2-slack
+        # slabs cut host-side): slot count and wall-clock vs round 2's
+        # 38.3M slots / ~495 ms
+        from voxelray_tpu.ops.voxelize import (VoxelizePlan,
+                                               _np_effective_extents)
+        st_, w_eff = _np_effective_extents(
+            v, f, grid.origin, grid.voxel_size, grid.dims)
+        slots = int(w_eff.prod(axis=1).sum())
+        for mb in (12, 24, 48):
+            plan = VoxelizePlan(v, f, grid.voxel_size, max_buckets=mb)
+            padded = sum(int(win[0] * win[1] * win[2]) * len(fi)
+                         for win, fi in plan.buckets)
+            fn = lambda plan=plan: plan(v)[0]
+            dt, cs = time_call(fn, runs)
+            occ_new, calls_new = plan(v)
+            ok = bool(np.array_equal(np.asarray(occ_new, bool),
+                                     np.asarray(occ, bool)))
+            emit(stage="V", max_buckets=mb, ms=round(dt, 2),
+                 slots_exact=slots, slots_padded=padded,
+                 occupancy_match=ok, set_calls=int(calls_new),
+                 set_calls_match=int(calls_new) == int(grid.set_calls),
+                 compile_s=round(cs, 1))
+
     if "I" in stages:
         hit_t = trace(o, d, rounds=3)
         hit = jnp.isfinite(hit_t)
@@ -276,6 +304,7 @@ def main():
                 ("default_r2_k84", dict()),
                 ("r1_k8", dict(rounds=1, k_hits=8)),
                 ("r1_k12", dict(rounds=1, k_hits=12)),
+                ("r1_k4", dict(rounds=1, k_hits=4)),
                 ("r2_k44", dict(rounds=2, k_hits=(4, 4))),
         ):
             fn = lambda kw=kw: any_hit_grid_fast(p, ld, accel, admit=adm,

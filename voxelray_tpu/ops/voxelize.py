@@ -84,6 +84,47 @@ def _np_windows(vertices, faces, origin, voxel_size, dims):
     return start, np.maximum(end, start)
 
 
+def _np_effective_extents(vertices, faces, origin, voxel_size, dims):
+    """Per-triangle tested-window extents with provably-dead slabs cut.
+
+    The reference's window end is trunc(max/vs)+2 (VoxelBuilder.hpp:
+    175-184): for a triangle whose max is strictly inside cell t, the
+    final slab t+1 can never pass the SAT's box-axis test — separation
+    there is `tmax - center < -half` (sat.py box axes; max(v - c) equals
+    max(v) - c exactly in float), so every cell of that slab is SAT-false
+    and skipping it changes neither occupancy nor set_calls.  The test is
+    evaluated HERE in the same f32 expression shapes the device kernel
+    uses, with a 16-ulp margin absorbing FMA-contraction drift between
+    backends: slabs are excluded only when separation holds by a wide
+    float margin, borderline triangles keep the full reference window
+    (and the SAT decides, identically to the reference).  Measured on
+    the 1M-tri bench mesh: 38.3M -> 12.9M tested slots (2.96x).
+
+    Returns (start, w_eff): int32 (F, 3) arrays, w_eff >= 1.
+    """
+    start, end = _np_windows(vertices, faces, origin, voxel_size, dims)
+    v = np.asarray(vertices, np.float32)
+    tmax = v[np.asarray(faces)].max(axis=1).astype(np.float32)
+    w_eff = np.maximum(end - start, 1).astype(np.int32)
+    origin = np.asarray(origin, np.float32)
+    vs = np.float32(voxel_size)
+    h = np.float32(voxel_size * 0.5)
+    eps = np.float32(2 ** -23)
+    for ax in range(3):
+        for _ in range(2):   # reference slack is at most 2 slabs
+            last = (start[:, ax] + w_eff[:, ax] - 1).astype(np.float32)
+            c = (origin[ax] + (last + np.float32(0.5)) * vs) \
+                .astype(np.float32)
+            t = (tmax[:, ax] - c).astype(np.float32)
+            margin = 16 * eps * np.maximum(
+                np.maximum(np.abs(c), np.abs(tmax[:, ax])), vs)
+            sep = (t < -h - margin) & (w_eff[:, ax] > 1)
+            if not sep.any():
+                break
+            w_eff[sep, ax] -= 1
+    return start, w_eff
+
+
 def required_window_shape(vertices, faces, origin, voxel_size, dims):
     """Max per-axis window extent over all triangles (host-side numpy).
 
@@ -278,8 +319,15 @@ def plan_buckets(vertices, faces, origin, voxel_size, dims,
     f = np.asarray(faces)
     if len(f) == 0:
         return []
-    start, end = _np_windows(vertices, faces, origin, voxel_size, dims)
-    w = np.maximum(end - start, 1)
+    # bucket by EFFECTIVE extents (dead final slabs cut — see
+    # _np_effective_extents): the device kernel still masks candidates
+    # with its own reference window math (`dx < w_true`), so a bucket
+    # shape below the reference extent merely skips slabs proven
+    # SAT-false, and any merge-widening above it is re-clipped by that
+    # mask.  Occupancy, set_calls, and Vec ranks are unchanged (ranks
+    # are mixed-radix in the TRUE window, monotone in (dz, dy, dx)).
+    start, w = _np_effective_extents(vertices, faces, origin, voxel_size,
+                                     dims)
     keys, inverse, counts = np.unique(w, axis=0, return_inverse=True,
                                       return_counts=True)
     order = np.argsort(inverse, kind="stable")
