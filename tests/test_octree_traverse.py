@@ -72,3 +72,66 @@ def test_octree_tmax_clipping(setup):
     t_clip, _ = trace_octree(o, d, tree, t_max=float(
         np.asarray(t_full)[0]) - 0.5)
     assert not np.isfinite(np.asarray(t_clip))[0]
+
+
+def test_flat_path_matches_descent(setup):
+    """The flattened region-map path (the default for bits <= 8) and the
+    while-loop child-link descent visit the same regions with the same
+    float math — results must be identical, not just close."""
+    import dataclasses
+
+    tree, _ = setup
+    assert tree.region_map is not None    # bits <= 8 here
+    tree_nomap = dataclasses.replace(tree, region_map=None, items4=None)
+    rng = np.random.default_rng(23)
+    n = 512
+    o = jnp.asarray(rng.uniform(-3, 3, (n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    t_f, lin_f = trace_octree(o, d, tree)
+    t_s, lin_s = trace_octree(o, d, tree_nomap)
+    assert np.array_equal(np.asarray(lin_f), np.asarray(lin_s))
+    hf = np.isfinite(np.asarray(t_f))
+    assert np.array_equal(hf, np.isfinite(np.asarray(t_s)))
+    assert np.array_equal(np.asarray(t_f)[hf], np.asarray(t_s)[hf])
+
+
+def test_region_map_partitions_cube(setup):
+    """Every cell belongs to exactly one region; leaves point at real
+    leaf nodes whose region cube matches the node's Morton range."""
+    from voxelray_tpu.models.octree import LEAF_FLAG, build_region_map
+
+    tree, _ = setup
+    bits = tree.bits_per_axis
+    side = 1 << bits
+    m = np.asarray(tree.region_map)
+    assert m.shape == (side ** 3,)
+    ch = np.asarray(tree.children)
+    is_leaf = (ch < 0).all(axis=1)
+    leaf_cells = m >= np.int32(LEAF_FLAG)
+    nodes = (m[leaf_cells] >> 5) & ((1 << 25) - 1)
+    assert is_leaf[nodes].all()
+    # every occupied cell must map to a leaf containing it
+    ix = np.asarray(tree.item_x)
+    iy = np.asarray(tree.item_y)
+    iz = np.asarray(tree.item_z)
+    lin = ix + side * (iy + side * iz)
+    assert (m[lin] >= np.int32(LEAF_FLAG)).all()
+
+
+def test_checkpoint_rebuilds_region_map(setup, tmp_path):
+    from voxelray_tpu.utils.checkpoint import load_grid, save_grid
+
+    tree, _ = setup
+    p = str(tmp_path / "tree.npz")
+    save_grid(p, tree)
+    tree2 = load_grid(p)
+    assert tree2.region_map is not None
+    assert np.array_equal(np.asarray(tree2.region_map),
+                          np.asarray(tree.region_map))
+    _, _, vi, pi = Camera().matrices(32, 24)
+    o, d = make_camera_rays(32, 24, vi, pi)
+    t_a, lin_a = trace_octree(o, d, tree)
+    t_b, lin_b = trace_octree(o, d, tree2)
+    assert np.array_equal(np.asarray(lin_a), np.asarray(lin_b))

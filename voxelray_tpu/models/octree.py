@@ -40,9 +40,80 @@ import numpy as np
 from ..ops.morton import (morton_decode3_np, morton_encode3,
                           morton_encode3_np, sort_codes_device)
 
-__all__ = ["Octree", "build_nodes", "INVALID_INDEX"]
+__all__ = ["Octree", "build_nodes", "build_region_map", "INVALID_INDEX"]
 
 INVALID_INDEX = np.uint32(0xFFFFFFFF)
+
+# region_map encoding: empty region -> log2(cells per side); occupied
+# leaf -> LEAF_FLAG | node_id << 5 | log2.  25 bits of node id is ample
+# for the bits <= REGION_MAP_MAX_BITS trees the map is built for.
+LEAF_FLAG = np.int32(1 << 30)
+REGION_MAP_MAX_BITS = 8      # map is side^3 i32: 64 MiB at 2^8 per axis
+
+
+def build_region_map(children: np.ndarray, bits: int) -> np.ndarray:
+    """Flatten the octree's region decomposition to a per-cell lookup.
+
+    For every cell of the conceptual 2^bits cube, record the region the
+    stackless descent would stop at: the deepest empty octant (INVALID
+    child, octTree.hpp:271) or occupied leaf cube containing the cell.
+    Regions partition the cube, so the map paints each cell exactly once
+    (sum over regions of rc^3 == side^3) — an O(side^3) host sweep done
+    once per tree.  Traversal then needs ONE gather per step instead of
+    a bits-deep child-link chase (ops/octree_traverse.py flat path).
+
+    children: (M, 8) int with -1 for INVALID, pre-order numbered.
+    Returns int32[side^3] indexed x + side*(y + side*z).
+    """
+    side = 1 << bits
+    ch = np.asarray(children, np.int64)
+    m = np.empty((side * side * side,), np.int32)
+    if len(ch) == 0:
+        m[:] = np.int32(bits)      # wholly empty: one root-sized region
+        return m
+    is_leaf = (ch < 0).all(axis=1)
+    oc = np.arange(8, dtype=np.int64)
+    odx, ody, odz = oc & 1, (oc >> 1) & 1, (oc >> 2) & 1
+
+    def paint(bases_x, bases_y, bases_z, rc, vals):
+        if len(bases_x) == 0:
+            return
+        off = np.arange(rc, dtype=np.int64)
+        x = bases_x[:, None, None, None] + off[None, None, None, :]
+        y = bases_y[:, None, None, None] + off[None, None, :, None]
+        z = bases_z[:, None, None, None] + off[None, :, None, None]
+        lin = (x + side * (y + side * z)).reshape(len(bases_x), -1)
+        m[lin.reshape(-1)] = np.repeat(vals.astype(np.int32), rc ** 3)
+
+    nodes = np.array([0], np.int64)
+    bx = np.array([0], np.int64)
+    by = np.array([0], np.int64)
+    bz = np.array([0], np.int64)
+    for depth in range(bits + 1):
+        if len(nodes) == 0:
+            break
+        rc = side >> depth
+        lg = bits - depth
+        leaf = is_leaf[nodes]
+        paint(bx[leaf], by[leaf], bz[leaf], rc,
+              LEAF_FLAG | (nodes[leaf].astype(np.int32) << 5)
+              | np.int32(lg))
+        pn = nodes[~leaf]
+        pbx, pby, pbz = bx[~leaf], by[~leaf], bz[~leaf]
+        if len(pn) == 0:
+            break
+        half = rc >> 1
+        sub = ch[pn]                               # (K, 8)
+        cbx = (pbx[:, None] + odx[None, :] * half).reshape(-1)
+        cby = (pby[:, None] + ody[None, :] * half).reshape(-1)
+        cbz = (pbz[:, None] + odz[None, :] * half).reshape(-1)
+        flat = sub.reshape(-1)
+        empty = flat < 0
+        paint(cbx[empty], cby[empty], cbz[empty], half,
+              np.full(int(empty.sum()), lg - 1, np.int32))
+        nodes = flat[~empty]
+        bx, by, bz = cbx[~empty], cby[~empty], cbz[~empty]
+    return m
 
 
 def build_nodes(codes_sorted: np.ndarray, max_depth: int,
@@ -190,6 +261,10 @@ class Octree:
     origin_key: tuple = field(default=(0.0, 0.0, 0.0),
                               metadata=dict(static=True))
     set_calls: int = 0
+    region_map: Any = None          # int32[side^3] flattened-descent map
+                                    # (build_region_map) or None
+    items4: Any = None              # int32[>=N, 4] packed (x, y, z, 0)
+                                    # item rows for block gathers
 
     # -- construction ------------------------------------------------------
     @classmethod
@@ -278,6 +353,20 @@ class Octree:
                 nodes = build_nodes(codes, max_depth,
                                     int(max_items_per_leaf))
         ix, iy, iz = morton_decode3_np(codes)
+        # flattened-descent region map + packed item rows (the fast
+        # traversal path) for trees the 64 MiB budget covers
+        region_map = None
+        items4 = None
+        if 0 < bits <= REGION_MAP_MAX_BITS:
+            ch_np = np.where(nodes[:, :8] == np.int64(INVALID_INDEX), -1,
+                             nodes[:, :8])
+            region_map = jnp.asarray(build_region_map(ch_np, bits))
+            it4 = np.zeros((max(len(ix), 1) + int(max_items_per_leaf), 4),
+                           np.int32)
+            it4[: len(ix), 0] = ix
+            it4[: len(ix), 1] = iy
+            it4[: len(ix), 2] = iz
+            items4 = jnp.asarray(it4)
         return cls(
             code_hi=jnp.asarray((codes >> np.uint64(32)).astype(np.uint32)),
             code_lo=jnp.asarray((codes & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
@@ -294,6 +383,7 @@ class Octree:
             max_items=int(max_items_per_leaf),
             origin_key=tuple(float(x) for x in bb_min),
             set_calls=int(calls),
+            region_map=region_map, items4=items4,
         )
 
     # -- queries -----------------------------------------------------------

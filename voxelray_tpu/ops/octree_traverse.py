@@ -188,12 +188,223 @@ def _trace_octree_impl(o, d, children, node_start, node_count, item_x,
     return best_t, best_lin
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("bits", "dims", "voxel_size", "origin_key",
+                     "max_items", "rounds", "steps", "drain_frac",
+                     "max_outer"),
+)
+def _trace_octree_flat_impl(o, d, region_map, node_start, node_count,
+                            items4, t_min,
+                            t_max, *, bits, dims, voxel_size, origin_key,
+                            max_items, rounds, steps, drain_frac,
+                            max_outer):
+    """Flattened-descent octree walk (the performance path).
+
+    Same region sequence and accept rules as _trace_octree_impl, but the
+    bits-deep child-link descent is replaced by ONE gather into the
+    per-cell region map (models/octree.py build_region_map), and the
+    traversal runs as STATIC unrolled rounds — `steps` free-space skips
+    then one leaf item test per round — instead of gathers inside a
+    while_loop body (~40x slower on this TPU, the round-2 profile).
+    Stragglers drain through a compacted two-level while loop exactly
+    like ops/traverse_fast: zero iterations when the static rounds
+    already resolved every ray.
+    """
+    nx, ny_, _nz = dims
+    vs = jnp.float32(voxel_size)
+    half = jnp.float32(0.5) * vs
+    og = jnp.asarray(origin_key, jnp.float32)
+    n = o.shape[0]
+    side = 1 << bits
+    leaf_flag = jnp.int32(1 << 30)
+    node_sc = jnp.stack([node_start, node_count], axis=1)  # (M, 2) rows
+
+    grid_max = og + jnp.float32(side) * vs
+    inv = 1.0 / d
+    tbot = inv * (og - o)
+    ttop = inv * (grid_max - o)
+    tn_ = jnp.minimum(tbot, ttop)
+    tf_ = jnp.maximum(tbot, ttop)
+    t_enter = jnp.maximum(jnp.maximum(tn_[:, 0], tn_[:, 1]), tn_[:, 2])
+    t_exit = jnp.minimum(jnp.minimum(tf_[:, 0], tf_[:, 1]), tf_[:, 2])
+    t_cur0 = jnp.maximum(t_enter, 0.0) + 1e-6
+    alive0 = (t_exit > jnp.maximum(t_enter, 0.0)) & (t_cur0 <= t_max)
+
+    def cell_slab_t(vx, vy, vz, oo, ii):
+        """Reference slab t0/t1 of item cells (raytrace.rint:46-56)."""
+        t0 = jnp.full(vx.shape, -jnp.inf, jnp.float32)
+        t1 = jnp.full(vx.shape, jnp.inf, jnp.float32)
+        for cc, ax in ((vx, 0), (vy, 1), (vz, 2)):
+            c = og[ax] + (cc.astype(jnp.float32) + 0.5) * vs
+            tb = ii[:, ax:ax + 1] * ((c - half) - oo[:, ax:ax + 1])
+            tt = ii[:, ax:ax + 1] * ((c + half) - oo[:, ax:ax + 1])
+            t0 = jnp.maximum(t0, jnp.minimum(tb, tt))
+            t1 = jnp.minimum(t1, jnp.maximum(tb, tt))
+        return t0, t1
+
+    def skip_step(oo, dd, ii, t_ex, tmx, t_cur, alive, holding, hold_node,
+                  hold_texit):
+        """One region lookup: hold on a leaf, advance past free space."""
+        p = oo + dd * t_cur[:, None]
+        cell = jnp.clip(jnp.floor((p - og) / vs).astype(jnp.int32), 0,
+                        side - 1)
+        cx, cy, cz = cell[:, 0], cell[:, 1], cell[:, 2]
+        lin = cx + side * (cy + side * cz)
+        act = alive & ~holding
+        val = region_map[jnp.where(act, lin, 0)]
+        is_leaf = (val & leaf_flag) != 0
+        lg = val & 31
+        node = (val >> 5) & ((1 << 25) - 1)
+        # region cube exit (the octant at the stopping level)
+        rx = ((cx >> lg) << lg).astype(jnp.float32)
+        ry = ((cy >> lg) << lg).astype(jnp.float32)
+        rz = ((cz >> lg) << lg).astype(jnp.float32)
+        ext = jnp.exp2(lg.astype(jnp.float32)) * vs
+        tx = jnp.where(dd[:, 0] != 0,
+                       jnp.maximum((og[0] + rx * vs - oo[:, 0]) * ii[:, 0],
+                                   (og[0] + rx * vs + ext - oo[:, 0])
+                                   * ii[:, 0]), jnp.inf)
+        ty = jnp.where(dd[:, 1] != 0,
+                       jnp.maximum((og[1] + ry * vs - oo[:, 1]) * ii[:, 1],
+                                   (og[1] + ry * vs + ext - oo[:, 1])
+                                   * ii[:, 1]), jnp.inf)
+        tz = jnp.where(dd[:, 2] != 0,
+                       jnp.maximum((og[2] + rz * vs - oo[:, 2]) * ii[:, 2],
+                                   (og[2] + rz * vs + ext - oo[:, 2])
+                                   * ii[:, 2]), jnp.inf)
+        t_rex = jnp.minimum(tx, jnp.minimum(ty, tz))
+
+        take = act & is_leaf
+        hold_node = jnp.where(take, node, hold_node)
+        hold_texit = jnp.where(take, t_rex, hold_texit)
+        holding = holding | take
+        advance = act & ~is_leaf
+        t_cur = jnp.where(advance,
+                          jnp.maximum(t_rex, t_cur) + 1e-6, t_cur)
+        alive = alive & (holding
+                         | (~advance) | ((t_cur < t_ex) & (t_cur <= tmx)))
+        return t_cur, alive, holding, hold_node, hold_texit
+
+    def item_phase(oo, dd, ii, t_ex, tmn, tmx, sel_for_write, t_cur,
+                   alive, holding, hold_node, hold_texit, best_t,
+                   best_lin):
+        """Test the held leaf's items; advance non-accepting rays."""
+        sc = node_sc[jnp.where(holding, hold_node, 0)]
+        start, count = sc[:, 0], sc[:, 1]
+        st = jnp.clip(start, 0, items4.shape[0] - max_items)
+        rows = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(items4, (s, 0),
+                                            (max_items, 4)))(st)
+        vx = rows[..., 0]
+        vy = rows[..., 1]
+        vz = rows[..., 2]
+        t0, t1 = cell_slab_t(vx, vy, vz, oo, ii)
+        ks = jnp.arange(max_items, dtype=jnp.int32)
+        valid = (ks[None, :] < count[:, None]) & holding[:, None] \
+            & alive[:, None]
+        accept = valid & (t1 > jnp.maximum(t0, 0.0)) & (t0 > 0.0) \
+            & (t0 >= tmn) & (t0 <= tmx[:, None])
+        t0m = jnp.where(accept, t0, jnp.inf)
+        arg = jnp.argmin(t0m, axis=1)
+        tb = jnp.take_along_axis(t0m, arg[:, None], axis=1)[:, 0]
+        lx = jnp.take_along_axis(vx, arg[:, None], axis=1)[:, 0]
+        ly = jnp.take_along_axis(vy, arg[:, None], axis=1)[:, 0]
+        lz = jnp.take_along_axis(vz, arg[:, None], axis=1)[:, 0]
+        got = jnp.isfinite(tb) & holding & alive
+        lin_hit = lx + nx * (ly + ny_ * lz)
+        if sel_for_write is None:
+            best_t = jnp.where(got, tb, best_t)
+            best_lin = jnp.where(got, lin_hit, best_lin)
+        else:
+            idx = jnp.where(got, sel_for_write, best_t.shape[0])
+            best_t = best_t.at[idx].set(tb, mode="drop")
+            best_lin = best_lin.at[idx].set(lin_hit, mode="drop")
+        # rays whose leaf had no accepted item march past its region
+        adv = holding & ~got
+        t_cur = jnp.where(adv, jnp.maximum(hold_texit, t_cur) + 1e-6,
+                          t_cur)
+        alive = alive & ~got \
+            & jnp.where(adv, (t_cur < t_ex) & (t_cur <= tmx), True)
+        holding = jnp.zeros_like(holding)
+        return t_cur, alive, holding, best_t, best_lin
+
+    best_t = jnp.full(n, jnp.inf, jnp.float32)
+    best_lin = jnp.full(n, -1, jnp.int32)
+    holding = jnp.zeros(n, bool)
+    hold_node = jnp.zeros(n, jnp.int32)
+    hold_texit = jnp.zeros(n, jnp.float32)
+    t_cur, alive = t_cur0, alive0
+    tmx_b = t_max
+    for _ in range(rounds):
+        for _ in range(steps):
+            t_cur, alive, holding, hold_node, hold_texit = skip_step(
+                o, d, inv, t_exit, tmx_b, t_cur, alive, holding,
+                hold_node, hold_texit)
+        t_cur, alive, holding, best_t, best_lin = item_phase(
+            o, d, inv, t_exit, t_min, tmx_b, None, t_cur, alive, holding,
+            hold_node, hold_texit, best_t, best_lin)
+
+    # ---- compacted straggler drain (see ops/traverse_fast.py) ----------
+    cap_d = min(max(8192, -(-n // drain_frac) // 1024 * 1024 + 1024), n)
+    outer_cap = -(-n // cap_d) + 1
+
+    def outer_cond(st):
+        return jnp.logical_and(jnp.any(st[0]), st[3] < outer_cap)
+
+    def outer_body(st):
+        alive_f, t_cur_f, (best_t, best_lin), outer = st
+        pos = jnp.cumsum(alive_f.astype(jnp.int32)) - 1
+        slot = jnp.where(alive_f & (pos < cap_d), pos, cap_d)
+        sel = jnp.full((cap_d,), n, jnp.int32).at[slot].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")
+        live = sel < n
+        sel_c = jnp.minimum(sel, n - 1)
+        oo = o[sel_c]
+        dd = d[sel_c]
+        ii = inv[sel_c]
+        t_ex = t_exit[sel_c]
+        tmx = t_max[sel_c]
+        tmn = t_min
+
+        def drain_cond(dst):
+            return jnp.logical_and(jnp.any(dst[1]), dst[5] < max_outer)
+
+        def drain_body(dst):
+            dt_cur, dalive, dholding, dhn, dht, it, bt_bl = dst
+            bt, bl = bt_bl
+            dt_cur, dalive, dholding, dhn, dht = skip_step(
+                oo, dd, ii, t_ex, tmx, dt_cur, dalive, dholding, dhn,
+                dht)
+            dt_cur, dalive, dholding, bt, bl = item_phase(
+                oo, dd, ii, t_ex, tmn, tmx, sel, dt_cur, dalive,
+                dholding, dhn, dht, bt, bl)
+            return (dt_cur, dalive, dholding, dhn, dht, it + 1, (bt, bl))
+
+        init = (t_cur_f[sel_c], live & alive_f[sel_c],
+                jnp.zeros(cap_d, bool), jnp.zeros(cap_d, jnp.int32),
+                jnp.zeros(cap_d, jnp.float32), jnp.int32(0),
+                (best_t, best_lin))
+        _, dalive, _, _, _, _, (best_t, best_lin) = jax.lax.while_loop(
+            drain_cond, drain_body, init)
+        alive_f = alive_f.at[sel].set(dalive, mode="drop")
+        return (alive_f, t_cur_f, (best_t, best_lin), outer + 1)
+
+    alive, _, (best_t, best_lin), _ = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (alive, t_cur, (best_t, best_lin), jnp.int32(0)))
+    return best_t, best_lin
+
+
 def trace_octree(origins, dirs, tree, t_min=TMIN, t_max=TMAX,
                  max_outer=512):
     """Nearest voxel hit via octree walk: (t, cell_lin), -1/inf on miss.
 
     tree: models.octree.Octree.  Hit cells are reported as linear indices
     in the tree's voxel dims (x + nx*(y + ny*z)) like the grid backends.
+    Trees carrying the flattened-descent region map (bits <= 8) trace
+    through the static-round flat path; larger trees fall back to the
+    while-loop child-link descent.
     """
     batch_shape = origins.shape[:-1]
     o = origins.reshape(-1, 3).astype(jnp.float32)
@@ -203,6 +414,16 @@ def trace_octree(origins, dirs, tree, t_min=TMIN, t_max=TMAX,
     if tree.n_items == 0 or tree.bits_per_axis == 0:
         return (jnp.full(batch_shape, jnp.inf, jnp.float32),
                 jnp.full(batch_shape, -1, jnp.int32))
+
+    if tree.region_map is not None and tree.items4 is not None:
+        t, lin = _trace_octree_flat_impl(
+            o, d, tree.region_map, tree.node_start, tree.node_count,
+            tree.items4, jnp.float32(t_min), t_max_b,
+            bits=tree.bits_per_axis, dims=tree.dims,
+            voxel_size=tree.voxel_size, origin_key=tree.origin_key,
+            max_items=int(tree.max_items), rounds=4, steps=4,
+            drain_frac=64, max_outer=max_outer)
+        return t.reshape(batch_shape), lin.reshape(batch_shape)
 
     t, lin = _trace_octree_impl(
         o, d, tree.children, tree.node_start, tree.node_count,

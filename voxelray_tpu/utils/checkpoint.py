@@ -77,4 +77,20 @@ def load_grid(path: str):
     meta["dims"] = tuple(meta["dims"])
     if "origin_key" in meta:
         meta["origin_key"] = tuple(meta["origin_key"])
-    return cls(**arrays, **meta)
+    out = cls(**arrays, **meta)
+    if kind == "Octree":
+        # the flattened-descent region map is derived state (not
+        # serialized); rebuild it so a restored tree traces through the
+        # fast flat path like a freshly built one
+        from ..models.octree import REGION_MAP_MAX_BITS, build_region_map
+        import dataclasses
+        bits = out.bits_per_axis
+        if 0 < bits <= REGION_MAP_MAX_BITS and out.n_items:
+            rm = build_region_map(np.asarray(out.children), bits)
+            it4 = np.zeros((out.n_items + out.max_items, 4), np.int32)
+            it4[: out.n_items, 0] = np.asarray(out.item_x)
+            it4[: out.n_items, 1] = np.asarray(out.item_y)
+            it4[: out.n_items, 2] = np.asarray(out.item_z)
+            out = dataclasses.replace(out, region_map=jnp.asarray(rm),
+                                      items4=jnp.asarray(it4))
+    return out
