@@ -612,8 +612,8 @@ def _tuned_chunk(accel, chunk):
 
 
 def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
-                    t_max=TMAX, rounds=3, chunk=64, fine="walk",
-                    admit=None, k_hits=8, two_level=None, fine_frac=8,
+                    t_max=TMAX, rounds=1, chunk=64, fine="walk",
+                    admit=None, k_hits=6, two_level=None, fine_frac=8,
                     resident_frac=4, drain=True, drain_frac=64,
                     drain_k=8, return_stats=False):
     """(t, cell_lin) nearest voxel hit; same contract as trace_grid_dda.
@@ -625,6 +625,14 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
     iterations when the static rounds already drained the queue.
     return_stats=True additionally returns n_unresolved (rays that
     overflowed the drain domain; 0 = provably exhaustive result).
+
+    rounds=1 x k_hits=6 is the measured round-3 sweep winner at the
+    full preset (87.5 ms vs 154 for the old r3 x k8 default, identical
+    210157 hits): the drain makes extra full-width rounds pure cost —
+    the per-round fine-words take alone prices 25 ms at 2.07M candidate
+    indices (stage-K in-jit rates), while the compacted drain serves the
+    ~7% stragglers far cheaper.  drain_frac=64 measured best (16 was
+    1.8x worse: an oversized drain domain re-pays full-width glue).
 
     admit: optional bool mask (batch shape) — only admitted rays trace
     (others return miss); the round-1 resident buffer is then compacted
@@ -667,23 +675,22 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
 
 
 def any_hit_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
-                      t_max=TMAX, rounds=2, chunk=64, fine="walk",
-                      admit=None, k_hits=(8, 4), two_level=None,
+                      t_max=TMAX, rounds=1, chunk=64, fine="walk",
+                      admit=None, k_hits=4, two_level=None,
                       resident_frac=2):
     """True where some voxel accepts along the ray (shadow query).
 
-    k_hits=(8, 4) over rounds=2 keeps the original 12-occupied-brick
-    coverage at a third of the round count (260 -> ~100 ms on the full
-    preset with identical occlusions); the deep slots sit in round 1
-    where rays are dense, because the wide capacity round's ff1 fine
-    gather prices per k x cap whether lanes are alive or not.
-    resident_frac=2 widens the second round's buffer to n/2 so total
-    ray capacity stays 0.75n: the admit path can only start n/4 rays in
-    round 1, and dense-admit scenes (every pixel lit-and-facing, e.g. a
-    wall close-up) need the remaining capacity to drain the queue
-    (test_any_hit_dense_admit_no_overflow_loss pins this).  An any-hit
-    ray still stops at its first accepted cell, so queues deeper than
-    needed stay wasted gather traffic.
+    rounds=1 x k_hits=4 + the exhaustiveness drain is the round-3 sweep
+    winner (61 ms vs 129 for round 2's k=(8,4) x r2 config at the full
+    preset, identical 101985 occlusions): shallow slots resolve nearly
+    every shadow ray (they start ON surfaces), and the compacted drain
+    serves stragglers exactly instead of paying extra full-width
+    rounds whose ff1 fine gather prices per k x cap whether lanes are
+    alive or not.  Dense-admit scenes (every pixel lit-and-facing, e.g.
+    a wall close-up) overflow the n/4 admit buffer into the drain and
+    stay exact (test_any_hit_dense_admit_no_overflow_loss pins this).
+    An any-hit ray still stops at its first accepted cell, so queues
+    deeper than needed stay wasted gather traffic.
 
     fine_frac is pinned to 1: shadow rays START on surfaces, so nearly
     every admitted ray has a candidate brick immediately — a primary-ray
