@@ -165,26 +165,114 @@ def main():
         emit(stage="C", order="tile24x128", ms=round(t_ms, 2))
 
     if "D" in stages:
+        # rounds=1 + drain won stage A (106.6 vs 154 ms, same 210157
+        # hits); sweep around it.  k_hits=16 at full width is excluded:
+        # the compiler's buffer estimate blows HBM (17.96G).
         cfgs = [
-            dict(rounds=2, k_hits=8, fine_frac=8),
-            dict(rounds=2, k_hits=12, fine_frac=8),
-            dict(rounds=3, k_hits=8, fine_frac=8),       # current default
-            dict(rounds=2, k_hits=8, fine_frac=16),
-            dict(rounds=1, k_hits=8, fine_frac=8),
+            dict(rounds=1, k_hits=8, fine_frac=8),       # new baseline
+            dict(rounds=1, k_hits=8, fine_frac=4),
+            dict(rounds=1, k_hits=8, fine_frac=16),
             dict(rounds=1, k_hits=12, fine_frac=8),
-            dict(rounds=1, k_hits=16, fine_frac=8),
-            dict(rounds=2, k_hits=8, fine_frac=8, resident_frac=8),
-            dict(rounds=2, k_hits=8, fine_frac=8, resident_frac=16),
+            dict(rounds=1, k_hits=6, fine_frac=8),
             dict(rounds=1, k_hits=8, fine_frac=8, drain_frac=16),
             dict(rounds=1, k_hits=8, fine_frac=8, drain_k=16),
-            dict(rounds=2, k_hits=8, fine_frac=8, drain_frac=16,
+            dict(rounds=1, k_hits=8, fine_frac=8, drain_frac=16,
                  drain_k=16),
+            dict(rounds=2, k_hits=(8, 4), fine_frac=8),
         ]
         for cfg in cfgs:
             dt, cs = time_call(lambda cfg=cfg: trace(o, d, **cfg), runs)
             emit(stage="D", ms=round(dt, 2), hits=nhits(o, d, **cfg),
                  compile_s=round(cs, 1), **{k: str(v) for k, v in
                                             cfg.items()})
+        # tiled-ray variants of the winner (the pipeline order)
+        perm = np.arange(H * W, dtype=np.int32).reshape(H, W) \
+            .reshape(H // 8, 8, W // 128, 128).transpose(2, 0, 1, 3) \
+            .reshape(-1)
+        ot, dt_ = o[perm], d[perm]
+        for cfg in (dict(rounds=1, k_hits=8, fine_frac=8),
+                    dict(rounds=1, k_hits=8, fine_frac=8,
+                         drain_frac=16)):
+            dtm, cs = time_call(lambda cfg=cfg: trace(ot, dt_, **cfg),
+                                runs)
+            emit(stage="D", tiled=True, ms=round(dtm, 2),
+                 compile_s=round(cs, 1),
+                 **{k: str(v) for k, v in cfg.items()})
+
+    if "K" in stages:
+        # TRUE in-jit primitive rates: 20 dependency-chained copies of
+        # each primitive inside ONE jit, so per-call dispatch (~30 ms
+        # round trip) amortizes to 1.5 ms and XLA cannot elide the work.
+        # Stage B's standalone numbers were dispatch-dominated (every op
+        # "cost" 10-15 ms).
+        reps = 20
+        cap8 = -(-n // 8) // 8192 * 8192 + 8192
+        r8 = jnp.stack([o[:, 0] + i for i in range(8)], axis=1)
+        idx0 = jnp.arange(cap8, dtype=jnp.int32) * 7 % n
+        idxf = jnp.arange(n, dtype=jnp.int32) * 7 % n
+        xs0 = jnp.arange(n, dtype=jnp.int32) % 5
+
+        @jax.jit
+        def chain_cumsum(x):
+            for _ in range(reps):
+                x = jnp.cumsum(x) & 1023
+            return x
+
+        @jax.jit
+        def chain_rowgather(idx):
+            acc = jnp.float32(0)
+            for _ in range(reps):
+                g = r8[idx]                      # (cap8, 8) row gather
+                idx = (idx + g[:, 0].astype(jnp.int32)) % n
+                acc = acc + g[0, 0]
+            return idx, acc
+
+        @jax.jit
+        def chain_rowgather_full(idx):
+            acc = jnp.float32(0)
+            for _ in range(reps):
+                g = r8[idx]                      # (n, 8) row gather
+                idx = (idx + g[:, 0].astype(jnp.int32)) % n
+                acc = acc + g[0, 0]
+            return idx, acc
+
+        @jax.jit
+        def chain_scatter(idx):
+            out = jnp.zeros((n + 1,), jnp.int32)
+            for _ in range(reps):
+                out = out.at[idx].set(1, mode="drop")
+                idx = (idx + out[0] + 1) % n
+            return out
+
+        @jax.jit
+        def chain_wordsgather(idx):
+            acc = jnp.uint32(0)
+            for _ in range(reps):
+                w = jnp.take(accel.fine, idx % accel.fine.shape[1],
+                             axis=1)             # (16, n) column take
+                idx = idx + (w[0] & 1).astype(jnp.int32)
+                acc = acc + w[0, 0]
+            return idx, acc
+
+        @jax.jit
+        def chain_stack8(x):
+            acc = x
+            for _ in range(reps):
+                s = jnp.stack([acc + i for i in range(8)], axis=1)
+                acc = s[:, 0] + s[:, 7] * 0.0
+            return acc
+
+        for name, fn, arg in (
+                ("cumsum_i32_n", chain_cumsum, xs0),
+                ("rowgather8_cap8", chain_rowgather, idx0),
+                ("rowgather8_n", chain_rowgather_full, idxf),
+                ("scatter_set_cap8", chain_scatter, idx0),
+                ("words16_take_n", chain_wordsgather, idxf),
+                ("stack8_n", chain_stack8, o[:, 0]),
+        ):
+            dt, cs = time_call(lambda fn=fn, arg=arg: fn(arg), runs)
+            emit(stage="K", prim=name, ms_per_op=round(dt / reps, 3),
+                 total_ms=round(dt, 2), compile_s=round(cs, 1))
 
     if "E" in stages:
         for bq in (16, 32, 64):
@@ -234,21 +322,25 @@ def main():
              ms=round(dt, 2), mupd_per_s=round(nu2 / dt / 1e3, 1))
 
     if "H" in stages:
-        from voxelray_tpu.ops.aabbs import (count_nonzero_words,
+        from voxelray_tpu.ops.aabbs import (count_nonzero_bytes,
+                                            count_nonzero_words,
                                             extract_aabbs_fixed)
         occ_d = jnp.asarray(occ)
         cnt = int(np.asarray(occ).astype(bool).sum())
         nzw = count_nonzero_words(occ)
+        nzb = count_nonzero_bytes(occ)
         cap = -(-cnt // 4096) * 4096 + 4096
-        log(f"aabb: count={cnt} nzw={nzw} cap={cap}")
-        for wc in (None, nzw + 64, 2 * nzw):
-            fn = lambda wc=wc: extract_aabbs_fixed(
+        log(f"aabb: count={cnt} nzw={nzw} nzb={nzb} cap={cap}")
+        for wc, bc in ((nzw + 64, None), (nzw + 64, nzb + 64),
+                       (nzw + 64, int(1.2 * nzb)), (None, None)):
+            fn = lambda wc=wc, bc=bc: extract_aabbs_fixed(
                 occ_d, jnp.asarray(grid.origin),
                 capacity=cap, dims=grid.dims,
-                voxel_size_static=grid.voxel_size, word_capacity=wc)[0]
+                voxel_size_static=grid.voxel_size, word_capacity=wc,
+                byte_capacity=bc)[0]
             dt, cs = time_call(fn, runs)
-            emit(stage="H", word_capacity=str(wc), ms=round(dt, 2),
-                 compile_s=round(cs, 1))
+            emit(stage="H", word_capacity=str(wc), byte_capacity=str(bc),
+                 ms=round(dt, 2), compile_s=round(cs, 1))
 
     if "J" in stages:
         from voxelray_tpu.models.scene import build_scene
@@ -256,16 +348,22 @@ def main():
         scene = build_scene(models=None, grid=grid)
         _, _, vi2, pi2 = cam.matrices(W, H)
 
-        def rend(shadows):
+        def rend(shadows, fo=None):
             return render_image(scene, vi2, pi2, width=W, height=H,
-                                backend="fast", shadows=shadows)
+                                backend="fast", shadows=shadows,
+                                fast_opts=fo)
 
-        dt, cs = time_call(lambda: rend(True), runs)
-        emit(stage="J", what="render_shadows", ms=round(dt, 2),
-             mrays=round(W * H / dt / 1e3, 2), compile_s=round(cs, 1))
-        dt, cs = time_call(lambda: rend(False), runs)
-        emit(stage="J", what="render_primary", ms=round(dt, 2),
-             mrays=round(W * H / dt / 1e3, 2), compile_s=round(cs, 1))
+        for label, fo in (("default", None),
+                          ("r1", {"rounds": 1}),
+                          ("r1df16", {"rounds": 1, "drain_frac": 16})):
+            dt, cs = time_call(lambda fo=fo: rend(True, fo), runs)
+            emit(stage="J", what=f"render_shadows_{label}",
+                 ms=round(dt, 2), mrays=round(W * H / dt / 1e3, 2),
+                 compile_s=round(cs, 1))
+            dt, cs = time_call(lambda fo=fo: rend(False, fo), runs)
+            emit(stage="J", what=f"render_primary_{label}",
+                 ms=round(dt, 2), mrays=round(W * H / dt / 1e3, 2),
+                 compile_s=round(cs, 1))
 
     if "V" in stages:
         # voxelize with the effective-window bucketing (dead +2-slack

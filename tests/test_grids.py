@@ -175,3 +175,42 @@ def test_undersized_word_capacity_clean_tail_drop():
         got = np.asarray(a)
         assert np.array_equal(got[:kept], ref[:kept])
         assert not got[kept:].any()
+
+
+def test_byte_capacity_tight_and_undersized():
+    """Three-phase extraction: a stats-tight byte_capacity is exact; an
+    undersized one tail-drops cleanly (count > valid rows signals)."""
+    import numpy as np
+    from voxelray_tpu.ops.aabbs import (aabbs_from_linear,
+                                        count_nonzero_bytes,
+                                        count_nonzero_words,
+                                        extract_aabbs_fixed)
+    rng = np.random.default_rng(9)
+    occ = (rng.random((11, 9, 37)) < 0.3).astype(np.uint8)
+    dims = (37, 9, 11)
+    origin = jnp.zeros(3, jnp.float32)
+    lin_ref = np.flatnonzero(occ.reshape(-1).astype(bool)).astype(np.int32)
+    ref = np.asarray(aabbs_from_linear(jnp.asarray(lin_ref), dims, origin,
+                                       0.2))
+    nzw = count_nonzero_words(occ)
+    nzb = count_nonzero_bytes(occ)
+    # tight stats: exact
+    a, c = extract_aabbs_fixed(jnp.asarray(occ), origin, capacity=4096,
+                               dims=dims, voxel_size_static=0.2,
+                               word_capacity=nzw, byte_capacity=nzb)
+    assert int(c) == len(lin_ref)
+    got = np.asarray(a)
+    assert np.array_equal(got[: len(lin_ref)], ref)
+    assert not got[len(lin_ref):].any()
+    # undersized byte capacity: clean tail-drop, full count as signal
+    a2, c2 = extract_aabbs_fixed(jnp.asarray(occ), origin, capacity=4096,
+                                 dims=dims, voxel_size_static=0.2,
+                                 word_capacity=nzw,
+                                 byte_capacity=max(1, nzb // 2))
+    assert int(c2) == len(lin_ref)
+    got2 = np.asarray(a2)
+    nz_rows = np.flatnonzero(got2.any(axis=1))
+    kept = len(nz_rows)
+    assert kept < len(lin_ref)
+    assert np.array_equal(got2[:kept], ref[:kept])
+    assert not got2[kept:].any()

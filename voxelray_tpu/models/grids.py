@@ -122,16 +122,18 @@ class GridBool:
         return aabbs_from_linear(jnp.asarray(lin), self.dims, self.origin,
                                  self.voxel_size)
 
-    def get_aabbs_fixed(self, capacity, word_capacity=None):
+    def get_aabbs_fixed(self, capacity, word_capacity=None,
+                        byte_capacity=None):
         """Jit-friendly padded extraction: ((capacity, 6), count).
 
-        word_capacity: optional nonzero-word bound (size from
-        ops.aabbs.count_nonzero_words with slack) — tightens the
-        two-phase extraction's scatter work; None is always safe."""
+        word_capacity / byte_capacity: optional nonzero word/byte bounds
+        (size from ops.aabbs.count_nonzero_words / count_nonzero_bytes
+        with slack) — they shrink the compaction's scatter lanes; None
+        is always safe."""
         return extract_aabbs_fixed(
             self.occupancy(), self.origin, capacity=capacity,
             dims=self.dims, voxel_size_static=self.voxel_size,
-            word_capacity=word_capacity,
+            word_capacity=word_capacity, byte_capacity=byte_capacity,
         )
 
     def memory_usage_bytes(self):

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["extract_aabbs_fixed", "extract_aabbs", "aabbs_from_linear",
-           "count_occupied"]
+           "count_occupied", "count_nonzero_words", "count_nonzero_bytes"]
 
 
 def aabbs_from_linear(lin, dims, origin, voxel_size):
@@ -46,27 +46,31 @@ def aabbs_from_linear(lin, dims, origin, voxel_size):
 
 @functools.partial(jax.jit, static_argnames=("capacity", "dims",
                                              "voxel_size_static",
-                                             "word_capacity"))
+                                             "word_capacity",
+                                             "byte_capacity"))
 def extract_aabbs_fixed(occ, origin, *, capacity, dims, voxel_size_static,
-                        word_capacity=None):
+                        word_capacity=None, byte_capacity=None):
     """Jitted compaction: occupancy (Z,Y,X) -> ((capacity, 6), count).
 
     Entries beyond `count` are zero.  Ordering is ascending linear index
     (x fastest), identical to the reference's sweep.  Cells beyond capacity
     are dropped (callers size capacity from count_occupied or mesh stats).
 
-    Two-phase word compaction (this is the getAabbs analog of the
+    Three-phase word/byte compaction (the getAabbs analog of the
     reference's countr_zero word skip, voxelgridBool.cpp:18-52): scatter
-    cost on this TPU is per UPDATE (~132M/s), so the naive per-cell
-    compaction paid one update per GRID CELL (350 ms at 512^3).  Phase 1
-    packs cells into u32 words and compacts the nonzero words (n/32
-    updates); phase 2 expands only those words' 32 bit lanes and places
-    set cells by word-prefix-popcount rank (32*word_capacity updates).
+    cost on this TPU is per update LANE (~132M/s in-jit), so the naive
+    per-cell compaction paid one update per GRID CELL (350 ms at 512^3).
+    Phase 1 packs cells into u32 words and compacts the nonzero words
+    (n/32 lanes); phase 2a splits those into bytes and compacts the
+    nonzero bytes (4*word_capacity lanes); phase 2b expands only those
+    bytes' 8 bit lanes and places set cells by prefix-popcount rank
+    (8*byte_capacity lanes).
 
-    word_capacity bounds the NONZERO WORD count like capacity bounds the
-    cell count — size it from stats (<= 1 + count nonzero words always
-    holds, so word_capacity=capacity is the safe default; dense grids
-    can pass count_occupied(occ)//4-ish for the full speedup).
+    word_capacity / byte_capacity bound the nonzero word/byte counts
+    like capacity bounds the cell count — size them from stats
+    (count_nonzero_words / count_nonzero_bytes with slack); undersizing
+    either tail-drops cleanly with count > valid rows as the overflow
+    signal.
     """
     flat = occ.reshape(-1).astype(bool)
     n = flat.shape[0]
@@ -94,13 +98,51 @@ def extract_aabbs_fixed(occ, origin, *, capacity, dims, voxel_size_static,
     cw = jnp.where(wlive, words[cwi_c], 0)        # (wcap,) u32
     crank = jnp.where(wlive, cell_prefix[cwi_c], capacity)
 
-    # phase 2: expand bits, place by rank (32 * wcap updates)
-    bits = ((cw[:, None] >> shifts) & 1).astype(jnp.int32)   # (wcap, 32)
-    in_word_rank = jnp.cumsum(bits, axis=1) - bits
-    rank = crank[:, None] + in_word_rank
+    # phase 2a: split compacted words into bytes and compact the NONZERO
+    # bytes (scatter cost on this TPU prices per update LANE, ~132M/s
+    # in-jit — round-3 stage-K profile — so the win comes from shrinking
+    # the lane count: 32*wcap bit lanes become 4*wcap byte lanes here
+    # plus 8*byte_capacity bit lanes below; surface occupancy keeps set
+    # bits clustered, so nonzero bytes ~ 1.2-1.5x nonzero words)
+    # byte_capacity bounds NONZERO BYTES like word_capacity bounds
+    # nonzero words; the safe default 4*wcap (a word has at most 4
+    # nonzero bytes) keeps phase 2b at the old 32*wcap lane count —
+    # callers with stats (count_nonzero_bytes) pass a tight bound for
+    # the ~2x lane cut, with the same clean tail-drop + count>valid
+    # overflow signal if undersized.
+    bcap = min(4 * wcap, byte_capacity if byte_capacity else 4 * wcap)
+    bcap = max(1, bcap)
+    byte_sh = jnp.arange(4, dtype=jnp.uint32) * 8
+    bytes_ = ((cw[:, None] >> byte_sh) & 0xFF).astype(jnp.uint32)
+    bpops = jax.lax.population_count(bytes_).astype(jnp.int32)
+    # rank of each byte's first cell = word rank + pops of lower bytes
+    brank = crank[:, None] + jnp.cumsum(bpops, axis=1) - bpops
+    bnz = (bytes_ != 0) & wlive[:, None]
+    bpos = jnp.cumsum(bnz.reshape(-1).astype(jnp.int32)) - 1
+    bkeep = bnz.reshape(-1) & (bpos < bcap)
+    bslot = jnp.where(bkeep, bpos, bcap)
+    # pack (byte value, byte index in word, word row) into one update so
+    # phase 2a is ONE scatter; rank goes in a second
+    # pack as value | byte_row << 8 (byte_row = word*4 + byte index,
+    # < 2^23 even at 512^3, so the packed int32 never overflows)
+    byte_row = (cwi_c[:, None] * 4
+                + jnp.arange(4, dtype=jnp.int32)[None, :])
+    packed = (bytes_.astype(jnp.int32) | (byte_row << 8)).reshape(-1)
+    cb = jnp.zeros((bcap,), jnp.int32).at[bslot].set(
+        jnp.where(bkeep, packed, 0), mode="drop")
+    cbrank = jnp.full((bcap,), capacity, jnp.int32).at[bslot].set(
+        jnp.where(bkeep, brank.reshape(-1), capacity), mode="drop")
+
+    # phase 2b: expand the 8 bit lanes of each nonzero byte, place by
+    # prefix-popcount rank (8 * bcap updates)
+    shifts8 = jnp.arange(8, dtype=jnp.int32)
+    bval = cb & 0xFF
+    bits = (bval[:, None] >> shifts8) & 1                    # (bcap, 8)
+    in_byte_rank = jnp.cumsum(bits, axis=1) - bits
+    rank = cbrank[:, None] + in_byte_rank
     keep = (bits > 0) & (rank < capacity)
     slot = jnp.where(keep, rank, capacity)
-    lin2 = cwi_c[:, None] * 32 + jnp.arange(32, dtype=jnp.int32)
+    lin2 = ((cb >> 8) * 8)[:, None] + shifts8[None, :]
     out_lin = jnp.zeros((capacity,), jnp.int32).at[slot.reshape(-1)].set(
         jnp.where(keep, lin2, 0).reshape(-1), mode="drop")
     aabbs = aabbs_from_linear(out_lin, dims, origin, voxel_size_static)
@@ -110,7 +152,9 @@ def extract_aabbs_fixed(occ, origin, *, capacity, dims, voxel_size_static,
     # gives the same clean tail-drop semantics as a capacity overflow.
     # `count` is still the full popcount: count > number of valid rows is
     # the caller's overflow signal for either bound (ADVICE r2 item 1).
-    kept = jnp.sum(jnp.where(wkeep, pops, 0))
+    # (byte-capacity drops are tail ranks too: bnz iterates in (word,
+    # byte) order, which is ascending rank)
+    kept = jnp.sum(jnp.where(bkeep, bpops.reshape(-1), 0))
     valid = jnp.arange(capacity) < jnp.minimum(count, kept)
     return jnp.where(valid[:, None], aabbs, 0.0), count
 
@@ -131,6 +175,19 @@ def count_nonzero_words(occ) -> int:
         np.pad(flat, (0, nw * 32 - flat.size)).reshape(nw, 32),
         axis=1, bitorder="little").view(np.uint32)[:, 0]
     return int((words != 0).sum())
+
+
+def count_nonzero_bytes(occ) -> int:
+    """Number of nonzero 8-cell bytes — the stats source for
+    extract_aabbs_fixed's byte_capacity."""
+    flat = np.asarray(occ).reshape(-1).astype(bool)
+    if flat.size == 0:
+        return 0
+    nb = -(-flat.size // 8)
+    bytes_ = np.packbits(
+        np.pad(flat, (0, nb * 8 - flat.size)).reshape(nb, 8),
+        axis=1, bitorder="little")[:, 0]
+    return int((bytes_ != 0).sum())
 
 
 def extract_aabbs(grid) -> np.ndarray:
