@@ -129,4 +129,6 @@ def test_two_meshes_depth_order():
                           v2[f2]], axis=0)
     ta = build_tri_accel(tri[:, 0], tri[:, 1], tri[:, 2], res=16)
     o, d = _cam_rays((0.0, 0.0, -4.0), (0.0, 0.0, 0.0), W=32, H=24)
-    _check_match(tri, ta, o, d, require_hits=0.05)
+    # brute finds 36/768 = 4.69% hits here (small cube, wide FOV) — the
+    # floor only guards against a degenerate all-miss comparison
+    _check_match(tri, ta, o, d, require_hits=0.04)

@@ -277,10 +277,16 @@ def _trace_tri_impl(o, d, ta, t_min, t_max, *, ta_static, rounds,
         best_u = best_u.at[idx].set(uc, mode="drop")
         best_v = best_v.at[idx].set(vc, mode="drop")
         # advance past the cell for rays that found a cell but no hit:
-        # never backward (monotone march), clamped so the NEXT cell's
-        # entry (== this exit, up to ulp) still passes t0 >= t_min
-        adv = jnp.maximum(t1c - jnp.maximum(1e-6 * jnp.abs(t1c), 1e-7),
-                          0.5 * (t0c + t1c))
+        # never backward (monotone march).  Advance to the MIDPOINT of
+        # the tested cell, not just under its exit: adjacent cells
+        # compute their shared face from different float expressions
+        # (center(i)+half vs center(i+1)-half, then the slab divide), so
+        # the next cell's entry can undershoot this exit by several ulp
+        # (measured 3e-6 relative) — a t1-eps advance then rejects it in
+        # the fine accept (t0 >= t_min) and the ray dies mid-mesh.  The
+        # midpoint is above this cell's entry (can't re-find it) and
+        # half a span below the next entry (boundary fuzz can't skip it).
+        adv = 0.5 * (t0c + t1c)
         t_next = jnp.full((n,), jnp.inf, jnp.float32).at[
             jnp.where(live, sel, n)].set(adv, mode="drop")
         served = jnp.zeros((n,), bool).at[
