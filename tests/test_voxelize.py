@@ -117,6 +117,14 @@ def test_voxelize_planned_matches_mesh():
     vs = 0.17
     ref = voxelize_mesh(v, f, vs)
     plan = plan_voxelize(v, f, vs, max_buckets=5)
-    occ, calls = plan(v)
+    occ, calls = plan(v)  # fused single-program path (scatter="auto")
     assert np.array_equal(np.asarray(occ), np.asarray(ref["occ"]))
     assert int(calls) == ref["set_calls"]
+
+    from voxelray_tpu.ops.voxelize import voxelize_planned
+    occ_w, calls_w = voxelize_planned(plan, v, scatter="window")
+    assert np.array_equal(np.asarray(occ_w), np.asarray(occ))
+    assert int(calls_w) == int(calls)
+    # count_only skips the occupancy scatter but counts the same hits
+    _, calls_c = voxelize_planned(plan, v, count_only=True)
+    assert int(calls_c) == int(calls)

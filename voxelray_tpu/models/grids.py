@@ -129,9 +129,11 @@ class GridBool:
         word_capacity / byte_capacity: optional nonzero word/byte bounds
         (size from ops.aabbs.count_nonzero_words / count_nonzero_bytes
         with slack) — they shrink the compaction's scatter lanes; None
-        is always safe."""
-        return extract_aabbs_fixed(
-            self.occupancy(), self.origin, capacity=capacity,
+        is always safe.  Feeds the packed words directly (the grid's
+        native storage) — no dense-volume unpack/repack round trip."""
+        from ..ops.aabbs import extract_aabbs_words
+        return extract_aabbs_words(
+            self.words, self.origin, capacity=capacity,
             dims=self.dims, voxel_size_static=self.voxel_size,
             word_capacity=word_capacity, byte_capacity=byte_capacity,
         )

@@ -17,8 +17,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["extract_aabbs_fixed", "extract_aabbs", "aabbs_from_linear",
-           "count_occupied", "count_nonzero_words", "count_nonzero_bytes"]
+__all__ = ["extract_aabbs_fixed", "extract_aabbs_words", "extract_aabbs",
+           "aabbs_from_linear", "count_occupied", "count_nonzero_words",
+           "count_nonzero_bytes"]
 
 
 def aabbs_from_linear(lin, dims, origin, voxel_size):
@@ -47,9 +48,11 @@ def aabbs_from_linear(lin, dims, origin, voxel_size):
 @functools.partial(jax.jit, static_argnames=("capacity", "dims",
                                              "voxel_size_static",
                                              "word_capacity",
-                                             "byte_capacity"))
+                                             "byte_capacity",
+                                             "stop_after"))
 def extract_aabbs_fixed(occ, origin, *, capacity, dims, voxel_size_static,
-                        word_capacity=None, byte_capacity=None):
+                        word_capacity=None, byte_capacity=None,
+                        stop_after=None):
     """Jitted compaction: occupancy (Z,Y,X) -> ((capacity, 6), count).
 
     Entries beyond `count` are zero.  Ordering is ascending linear index
@@ -75,16 +78,53 @@ def extract_aabbs_fixed(occ, origin, *, capacity, dims, voxel_size_static,
     flat = occ.reshape(-1).astype(bool)
     n = flat.shape[0]
     nw = max(1, -(-n // 32))
-    if word_capacity is None:
-        word_capacity = capacity
-    wcap = min(nw, word_capacity)
     shifts = jnp.arange(32, dtype=jnp.uint32)
     padded = jnp.pad(flat, (0, nw * 32 - n))
     words = (padded.reshape(nw, 32).astype(jnp.uint32) << shifts).sum(
         axis=1, dtype=jnp.uint32)
+    return _extract_from_words(words, origin, capacity=capacity,
+                               dims=dims,
+                               voxel_size_static=voxel_size_static,
+                               word_capacity=word_capacity,
+                               byte_capacity=byte_capacity,
+                               stop_after=stop_after)
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "dims",
+                                             "voxel_size_static",
+                                             "word_capacity",
+                                             "byte_capacity",
+                                             "stop_after"))
+def extract_aabbs_words(words, origin, *, capacity, dims,
+                        voxel_size_static, word_capacity=None,
+                        byte_capacity=None, stop_after=None):
+    """extract_aabbs_fixed taking the PACKED uint32 words directly
+    (GridBool's native storage) — skips the unpack->repack round trip
+    through a dense (Z,Y,X) uint8 volume (57 MB materialized in HBM at
+    512^3).  Bit order matches pack_bits: bit idx%32 of word idx/32,
+    padding bits beyond the cell count zero."""
+    return _extract_from_words(words, origin, capacity=capacity,
+                               dims=dims,
+                               voxel_size_static=voxel_size_static,
+                               word_capacity=word_capacity,
+                               byte_capacity=byte_capacity,
+                               stop_after=stop_after)
+
+
+def _extract_from_words(words, origin, *, capacity, dims,
+                        voxel_size_static, word_capacity, byte_capacity,
+                        stop_after):
+    nw = words.shape[0]
+    if nw == 0:
+        return jnp.zeros((capacity, 6), jnp.float32), jnp.int32(0)
+    if word_capacity is None:
+        word_capacity = capacity
+    wcap = min(nw, word_capacity)
     pops = jax.lax.population_count(words).astype(jnp.int32)
     cell_prefix = jnp.cumsum(pops) - pops         # rank of word's 1st cell
     count = (cell_prefix[-1] + pops[-1]).astype(jnp.int32)
+    if stop_after == "pack":                      # profiling attribution
+        return jnp.zeros((capacity, 6), jnp.float32), count
 
     # phase 1: compact nonzero-word INDICES (one scatter, nw updates)
     nz = words != 0
@@ -97,6 +137,10 @@ def extract_aabbs_fixed(occ, origin, *, capacity, dims, voxel_size_static,
     cwi_c = jnp.minimum(cwi, nw - 1)
     cw = jnp.where(wlive, words[cwi_c], 0)        # (wcap,) u32
     crank = jnp.where(wlive, cell_prefix[cwi_c], capacity)
+    if stop_after == "p1":                        # profiling attribution
+        return (jnp.zeros((capacity, 6), jnp.float32)
+                .at[0, 0].set(cw.sum().astype(jnp.float32)
+                              + crank.sum().astype(jnp.float32)), count)
 
     # phase 2a: split compacted words into bytes and compact the NONZERO
     # bytes (scatter cost on this TPU prices per update LANE, ~132M/s
@@ -132,6 +176,10 @@ def extract_aabbs_fixed(occ, origin, *, capacity, dims, voxel_size_static,
         jnp.where(bkeep, packed, 0), mode="drop")
     cbrank = jnp.full((bcap,), capacity, jnp.int32).at[bslot].set(
         jnp.where(bkeep, brank.reshape(-1), capacity), mode="drop")
+    if stop_after == "p2a":                       # profiling attribution
+        return (jnp.zeros((capacity, 6), jnp.float32)
+                .at[0, 0].set(cb.sum().astype(jnp.float32)
+                              + cbrank.sum().astype(jnp.float32)), count)
 
     # phase 2b: expand the 8 bit lanes of each nonzero byte, place by
     # prefix-popcount rank (8 * bcap updates)

@@ -140,6 +140,125 @@ def required_window_shape(vertices, faces, origin, voxel_size, dims):
     return (max(1, int(w[0])), max(1, int(w[1])), max(1, int(w[2])))
 
 
+def _chunk_hits(tri, origin, vs, half, dims, window, with_rank=False):
+    """SAT-hit mask for one triangle chunk over its static window box.
+
+    tri: (chunk, 3, 3) f32.  Returns (hit, lin, w) — and the serial rank
+    within the true window when with_rank.  The exact reference math
+    (VoxelBuilder.hpp:164-196): per-triangle clamped window, static
+    unravel, 13-axis SAT — shared by voxelize_dense and the fused
+    planned path so the f32 expression shapes stay identical.
+    """
+    nx, ny, nz = dims
+    wx_c, wy_c, wz_c = window
+    capacity = wx_c * wy_c * wz_c
+    k = np.arange(capacity)
+    dx = jnp.asarray((k % wx_c).astype(np.int32))
+    dy = jnp.asarray(((k // wx_c) % wy_c).astype(np.int32))
+    dz = jnp.asarray((k // (wx_c * wy_c)).astype(np.int32))
+
+    v0, v1, v2 = tri[:, 0], tri[:, 1], tri[:, 2]
+    tmin = jnp.minimum(v0, jnp.minimum(v1, v2))
+    tmax = jnp.maximum(v0, jnp.maximum(v1, v2))
+    # empty-window guard for padded/degenerate triangles
+    finite = jnp.isfinite(tmin).all(axis=-1)
+    tmin = jnp.where(finite[:, None], tmin, 0.0)
+    tmax = jnp.where(finite[:, None], tmax, -1.0)
+    start, end = window_bounds(tmin, tmax, origin, vs, (nx, ny, nz))
+    w = jnp.maximum(end - start, 0)  # (chunk, 3) true window extents
+    w = jnp.where(finite[:, None], w, 0)
+
+    inside = (
+        (dx[None, :] < w[:, 0:1])
+        & (dy[None, :] < w[:, 1:2])
+        & (dz[None, :] < w[:, 2:3])
+    )  # (chunk, capacity)
+
+    cx = start[:, 0:1] + dx[None, :]
+    cy = start[:, 1:2] + dy[None, :]
+    cz = start[:, 2:3] + dz[None, :]
+
+    centers = jnp.stack(
+        [
+            origin[0] + (cx.astype(jnp.float32) + 0.5) * vs,
+            origin[1] + (cy.astype(jnp.float32) + 0.5) * vs,
+            origin[2] + (cz.astype(jnp.float32) + 0.5) * vs,
+        ],
+        axis=-1,
+    )  # (chunk, capacity, 3)
+
+    hit = inside & tri_box_overlap(
+        centers, half, v0[:, None, :], v1[:, None, :], v2[:, None, :]
+    )
+    lin = cx + nx * (cy + ny * cz)  # (chunk, capacity)
+    if with_rank:
+        rank = (dz[None, :] * w[:, 1:2] + dy[None, :]) * w[:, 0:1] \
+            + dx[None, :]
+        return hit, lin, w, rank
+    return hit, lin, w
+
+
+def _scatter_bucket(occ_acc, calls, tri_verts, origin, vs, half, dims,
+                    window, chunk):
+    """Flat-scatter one bucket's SAT hits into the shared trash-slot
+    occupancy buffer (static chunk loop, straight-line under jit)."""
+    n_cells = dims[0] * dims[1] * dims[2]
+    f_total = tri_verts.shape[0]
+    n_chunks = max(1, -(-f_total // chunk))
+    pad = n_chunks * chunk - f_total
+    tri_verts = jnp.pad(tri_verts, ((0, pad), (0, 0), (0, 0)),
+                        constant_values=np.inf)
+    tri_chunks = tri_verts.reshape(n_chunks, chunk, 3, 3)
+    for c in range(n_chunks):
+        hit, lin, _ = _chunk_hits(tri_chunks[c], origin, vs, half, dims,
+                                  window)
+        lin_t = jnp.where(hit, lin, n_cells)
+        occ_acc = occ_acc.at[lin_t.reshape(-1)].set(
+            jnp.uint8(1), mode="promise_in_bounds")
+        calls = calls + hit.sum(dtype=jnp.int32)
+    return occ_acc, calls
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dims", "voxel_size_static", "layout", "count_only"),
+)
+def _voxelize_fused(v, faces_sorted, origin, *, dims, voxel_size_static,
+                    layout, count_only=False):
+    """ONE program for every bucket: shared trash-slot buffer, one vertex
+    gather, no per-bucket dispatch or occupancy-merge chain.
+
+    layout: static tuple of (offset, count, window, chunk) — bucket b's
+    triangles are faces_sorted[offset : offset+count] (plan-time order).
+    count_only=True skips the occupancy scatter (profiling attribution).
+    """
+    nx, ny, nz = dims
+    n_cells = nx * ny * nz
+    vs = jnp.float32(voxel_size_static)
+    half = jnp.float32(voxel_size_static * 0.5)
+    origin = jnp.asarray(origin, jnp.float32)
+    occ_acc = jnp.zeros((max(n_cells, 1) + 1,), jnp.uint8)
+    calls = jnp.int32(0)
+    tri_all = v[faces_sorted]  # one gather covers every bucket
+    for off, cnt, win, chunk in layout:
+        tri = jax.lax.slice_in_dim(tri_all, off, off + cnt)
+        if count_only:
+            f_total = tri.shape[0]
+            n_chunks = max(1, -(-f_total // chunk))
+            pad = n_chunks * chunk - f_total
+            trip = jnp.pad(tri, ((0, pad), (0, 0), (0, 0)),
+                           constant_values=np.inf)
+            for c in range(n_chunks):
+                hit, _, _ = _chunk_hits(
+                    trip.reshape(n_chunks, chunk, 3, 3)[c], origin, vs,
+                    half, dims, win)
+                calls = calls + hit.sum(dtype=jnp.int32)
+        else:
+            occ_acc, calls = _scatter_bucket(
+                occ_acc, calls, tri, origin, vs, half, dims, win, chunk)
+    return occ_acc[:n_cells].reshape(nz, ny, nx), calls
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("dims", "voxel_size_static", "window", "chunk",
@@ -199,51 +318,20 @@ def voxelize_dense(tri_verts, origin, *, dims, voxel_size_static, window,
     # NOTE: chunks iterate as a STATIC python loop below — scatters inside
     # lax.scan bodies run ~40x slower on this TPU than straight-line code.
 
-    # static unravel of the window box, x fastest (the reference's
-    # z-outer / y / x-inner loop order)
-    k = np.arange(capacity)
-    dx = jnp.asarray((k % wx_c).astype(np.int32))
-    dy = jnp.asarray(((k // wx_c) % wy_c).astype(np.int32))
-    dz = jnp.asarray((k // (wx_c * wy_c)).astype(np.int32))
-
     def body(carry, tri):
         occ_acc, calls = carry
-        v0, v1, v2 = tri[:, 0], tri[:, 1], tri[:, 2]
-        tmin = jnp.minimum(v0, jnp.minimum(v1, v2))
-        tmax = jnp.maximum(v0, jnp.maximum(v1, v2))
-        # empty-window guard for padded/degenerate triangles
-        finite = jnp.isfinite(tmin).all(axis=-1)
-        tmin = jnp.where(finite[:, None], tmin, 0.0)
-        tmax = jnp.where(finite[:, None], tmax, -1.0)
-        start, end = window_bounds(tmin, tmax, origin, vs, (nx, ny, nz))
-        w = jnp.maximum(end - start, 0)  # (chunk, 3) true window extents
-        w = jnp.where(finite[:, None], w, 0)
-
-        inside = (
-            (dx[None, :] < w[:, 0:1])
-            & (dy[None, :] < w[:, 1:2])
-            & (dz[None, :] < w[:, 2:3])
-        )  # (chunk, capacity)
-
-        cx = start[:, 0:1] + dx[None, :]
-        cy = start[:, 1:2] + dy[None, :]
-        cz = start[:, 2:3] + dz[None, :]
-
-        centers = jnp.stack(
-            [
-                origin[0] + (cx.astype(jnp.float32) + 0.5) * vs,
-                origin[1] + (cy.astype(jnp.float32) + 0.5) * vs,
-                origin[2] + (cz.astype(jnp.float32) + 0.5) * vs,
-            ],
-            axis=-1,
-        )  # (chunk, capacity, 3)
-
-        hit = inside & tri_box_overlap(
-            centers, half, v0[:, None, :], v1[:, None, :], v2[:, None, :]
-        )
-        lin = cx + nx * (cy + ny * cz)  # (chunk, capacity)
-
+        hit, lin, w, rank = _chunk_hits(tri, origin, vs, half,
+                                        (nx, ny, nz), window,
+                                        with_rank=True)
         if scatter == "window":
+            tmin = jnp.minimum(tri[:, 0],
+                               jnp.minimum(tri[:, 1], tri[:, 2]))
+            finite = jnp.isfinite(tmin).all(axis=-1)
+            tmin = jnp.where(finite[:, None], tmin, 0.0)
+            tmax = jnp.maximum(tri[:, 0],
+                               jnp.maximum(tri[:, 1], tri[:, 2]))
+            tmax = jnp.where(finite[:, None], tmax, -1.0)
+            start, _ = window_bounds(tmin, tmax, origin, vs, (nx, ny, nz))
             # ONE scatter index per triangle: its dense hit-mask block
             # max-combines (== OR for {0,1}) into the padded volume.
             # The capacity unravel is x-fastest, so the block reshapes
@@ -267,11 +355,9 @@ def voxelize_dense(tri_verts, origin, *, dims, voxel_size_static, window,
                 jnp.uint8(1), mode="promise_in_bounds")
         calls = calls + hit.sum(dtype=jnp.int32)
         if with_hit_mask:
+            # rank: serial order within the triangle's true window,
+            # (dz*wy + dy)*wx + dx — computed in _chunk_hits
             lin_m = jnp.where(hit, lin, n_cells)
-            # serial rank within the triangle's true window:
-            # (dz*wy + dy)*wx + dx  (multiplies only, no division)
-            rank = (dz[None, :] * w[:, 1:2] + dy[None, :]) * w[:, 0:1] \
-                + dx[None, :]
             return (occ_acc, calls), (hit, lin_m, rank)
         return (occ_acc, calls), None
 
@@ -396,6 +482,23 @@ class VoxelizePlan:
             for win, idx in buckets
         ]
         self.n_triangles = len(f)
+        # fused single-program layout: all bucket faces concatenated in
+        # plan order + static (offset, count, window, chunk) per bucket —
+        # ONE dispatch, one vertex gather, one shared trash-slot buffer
+        # instead of 24 programs merged by a jnp.maximum chain over the
+        # full volume
+        budget = (1 << 22) if jax.default_backend() != "cpu" else (1 << 14)
+        layout = []
+        off = 0
+        for win, fidx in self.buckets:
+            cap = win[0] * win[1] * win[2]
+            bchunk = int(min(self.chunk, max(8, budget // cap)))
+            layout.append((off, int(fidx.shape[0]), win, bchunk))
+            off += int(fidx.shape[0])
+        self.layout = tuple(layout)
+        self.faces_sorted = (jnp.concatenate([f_ for _, f_ in self.buckets])
+                             if self.buckets else
+                             jnp.zeros((0, 3), jnp.int32))
 
     def __call__(self, vertices):
         return voxelize_planned(self, vertices)
@@ -405,23 +508,32 @@ def plan_voxelize(vertices, faces, voxel_size, **kw) -> VoxelizePlan:
     return VoxelizePlan(vertices, faces, voxel_size, **kw)
 
 
-def voxelize_planned(plan: VoxelizePlan, vertices, scatter="auto"):
+def voxelize_planned(plan: VoxelizePlan, vertices, scatter="auto",
+                     count_only=False):
     """Execute a VoxelizePlan against (possibly deformed) vertices.
 
-    vertices: (V, 3) float32 (host or device).  Pure device math: one
-    static gather + voxelize_dense per bucket, OR-combined.  Occupancy is
-    bit-exact vs the serial reference as long as no triangle's window
-    outgrew its plan-time bucket shape (plan from worst-case geometry).
+    vertices: (V, 3) float32 (host or device).  ONE jitted program runs
+    every bucket (static layout from plan time): one vertex gather, a
+    shared trash-slot scatter buffer, no per-bucket dispatch or
+    occupancy-merge chain.  Occupancy is bit-exact vs the serial
+    reference as long as no triangle's window outgrew its plan-time
+    bucket shape (plan from worst-case geometry).  scatter="window"
+    keeps the old per-bucket A/B path.  count_only=True returns only
+    set_calls work (profiling attribution — skips the occupancy
+    scatter).
     """
     v = jnp.asarray(vertices, jnp.float32).reshape(-1, 3)
     nx, ny, nz = plan.dims
+    org = jnp.asarray(plan.origin)
+    if scatter in ("auto", "flat"):
+        return _voxelize_fused(
+            v, plan.faces_sorted, org, dims=plan.dims,
+            voxel_size_static=plan.voxel_size, layout=plan.layout,
+            count_only=count_only)
     occ = jnp.zeros((nz, ny, nx), jnp.uint8)
     calls = jnp.int32(0)
-    org = jnp.asarray(plan.origin)
-    budget = (1 << 22) if jax.default_backend() != "cpu" else (1 << 14)
-    for win, fidx in plan.buckets:
-        cap = win[0] * win[1] * win[2]
-        bchunk = int(min(plan.chunk, max(8, budget // cap)))
+    for (off, cnt, win, bchunk), (_, fidx) in zip(plan.layout,
+                                                  plan.buckets):
         occ_b, calls_b = voxelize_dense(
             v[fidx], org, dims=plan.dims,
             voxel_size_static=plan.voxel_size, window=win, chunk=bchunk,
