@@ -342,6 +342,42 @@ def main():
             emit(stage="H", word_capacity=str(wc), byte_capacity=str(bc),
                  ms=round(dt, 2), compile_s=round(cs, 1))
 
+    if "H2" in stages:
+        # phase attribution for the three-phase extraction: pack / p1
+        # (word compaction) / p2a (byte compaction) / full, tight caps
+        from voxelray_tpu.ops.aabbs import (count_nonzero_bytes,
+                                            count_nonzero_words,
+                                            extract_aabbs_fixed)
+        occ_d = jnp.asarray(occ)
+        cnt = int(np.asarray(occ).astype(bool).sum())
+        nzw = count_nonzero_words(occ)
+        nzb = count_nonzero_bytes(occ)
+        cap = -(-cnt // 4096) * 4096 + 4096
+        wc = -(-int(nzw * 1.1) // 8192) * 8192
+        bc = -(-int(nzb * 1.1) // 8192) * 8192
+        log(f"aabb: count={cnt} nzw={nzw} nzb={nzb} cap={cap} "
+            f"wc={wc} bc={bc}")
+        for phase in ("pack", "p1", "p2a", None):
+            fn = lambda phase=phase: extract_aabbs_fixed(
+                occ_d, jnp.asarray(grid.origin), capacity=cap,
+                dims=grid.dims, voxel_size_static=grid.voxel_size,
+                word_capacity=wc, byte_capacity=bc, stop_after=phase)[0]
+            dt, cs = time_call(fn, runs)
+            emit(stage="H2", stop_after=str(phase), ms=round(dt, 2),
+                 compile_s=round(cs, 1))
+        # words-direct (GridBool native storage): same phases minus the
+        # dense-volume pack
+        from voxelray_tpu.ops.aabbs import extract_aabbs_words
+        words_d = grid.words
+        for phase in ("p1", "p2a", None):
+            fn = lambda phase=phase: extract_aabbs_words(
+                words_d, jnp.asarray(grid.origin), capacity=cap,
+                dims=grid.dims, voxel_size_static=grid.voxel_size,
+                word_capacity=wc, byte_capacity=bc, stop_after=phase)[0]
+            dt, cs = time_call(fn, runs)
+            emit(stage="H2", stop_after=f"words_{phase}",
+                 ms=round(dt, 2), compile_s=round(cs, 1))
+
     if "J" in stages:
         from voxelray_tpu.models.scene import build_scene
         from voxelray_tpu.render.pipeline import render_image
@@ -364,6 +400,69 @@ def main():
             emit(stage="J", what=f"render_primary_{label}",
                  ms=round(dt, 2), mrays=round(W * H / dt / 1e3, 2),
                  compile_s=round(cs, 1))
+
+    if "D3" in stages:
+        # follow-up: the fine-words take prices per candidate index
+        # (k x fcap), so shallower k + tighter compaction shrink it
+        perm = np.arange(H * W, dtype=np.int32).reshape(H, W) \
+            .reshape(H // 8, 8, W // 128, 128).transpose(2, 0, 1, 3) \
+            .reshape(-1)
+        ot, dt_ = o[perm], d[perm]
+        for cfg in (dict(rounds=1, k_hits=6, fine_frac=8),
+                    dict(rounds=1, k_hits=4, fine_frac=8),
+                    dict(rounds=1, k_hits=5, fine_frac=8),
+                    dict(rounds=1, k_hits=4, fine_frac=8, drain_k=16),
+                    dict(rounds=1, k_hits=3, fine_frac=8)):
+            dtm, cs = time_call(lambda cfg=cfg: trace(ot, dt_, **cfg),
+                                runs)
+            emit(stage="D3", tiled=True, ms=round(dtm, 2),
+                 hits=nhits(ot, dt_, **cfg), compile_s=round(cs, 1),
+                 **{k: str(v) for k, v in cfg.items()})
+
+    if "I2" in stages:
+        hit_t = trace(o, d)
+        hit = jnp.isfinite(hit_t)
+        p = o + d * jnp.where(hit, hit_t, 1.0)[:, None]
+        ldir = jnp.asarray([0.45, 0.8, 0.4], jnp.float32)
+        ldir = ldir / jnp.linalg.norm(ldir)
+        ld = jnp.broadcast_to(ldir, p.shape)
+        adm = hit
+        occl_ref = None
+        for label, kw in (
+                ("r1_k4_af4", dict(rounds=1, k_hits=4)),
+                ("r1_k4_af4_ff1", dict(rounds=1, k_hits=4, fine_frac=1)),
+                ("r1_k5_af4", dict(rounds=1, k_hits=5)),
+                ("r1_k3_af4", dict(rounds=1, k_hits=3)),
+        ):
+            fn = lambda kw=kw: any_hit_grid_fast(p, ld, accel, admit=adm,
+                                                 **kw)
+            dt, cs = time_call(fn, runs)
+            occl = int(np.asarray(fn()).sum())
+            if occl_ref is None:
+                occl_ref = occl
+            emit(stage="I2", what=label, ms=round(dt, 2), occluded=occl,
+                 match=occl == occl_ref, compile_s=round(cs, 1))
+
+    if "J2" in stages:
+        from voxelray_tpu.models.scene import build_scene
+        from voxelray_tpu.render.pipeline import render_image
+        scene = build_scene(models=None, grid=grid)
+        _, _, vi2, pi2 = cam.matrices(W, H)
+
+        def rend(shadows, fo=None):
+            return render_image(scene, vi2, pi2, width=W, height=H,
+                                backend="fast", shadows=shadows,
+                                fast_opts=fo)
+
+        for label, fo in (("defaults", None),
+                          ("k4", {"k_hits": 4}),
+                          ("k5", {"k_hits": 5})):
+            dt, cs = time_call(lambda fo=fo: rend(False, fo), runs)
+            emit(stage="J2", what=f"primary_{label}", ms=round(dt, 2),
+                 mrays=round(W * H / dt / 1e3, 2), compile_s=round(cs, 1))
+            dt, cs = time_call(lambda fo=fo: rend(True, fo), runs)
+            emit(stage="J2", what=f"shadows_{label}", ms=round(dt, 2),
+                 mrays=round(W * H / dt / 1e3, 2), compile_s=round(cs, 1))
 
     if "V" in stages:
         # voxelize with the effective-window bucketing (dead +2-slack
@@ -388,6 +487,33 @@ def main():
                  occupancy_match=ok, set_calls=int(calls_new),
                  set_calls_match=int(calls_new) == int(grid.set_calls),
                  compile_s=round(cs, 1))
+
+    if "V2" in stages:
+        # fused single-program voxelizer: attribution (scatter vs SAT)
+        # and bucket-count sweep.  count_only skips the occupancy
+        # scatter, so fused - count_only ~= the scatter cost.
+        from voxelray_tpu.ops.voxelize import (VoxelizePlan,
+                                               voxelize_planned)
+        # 48 buckets regressed in the per-bucket-dispatch era (677 ms:
+        # too many program variants); under the fused single program
+        # extra buckets are just more unrolled segments — re-test
+        for mb in (16, 24, 32, 48):
+            plan = VoxelizePlan(v, f, grid.voxel_size, max_buckets=mb)
+            padded = sum(c_ * w_[0] * w_[1] * w_[2]
+                         for _, c_, w_, _ in plan.layout)
+            dt, cs = time_call(lambda plan=plan: plan(v)[0], runs)
+            occ_new, calls_new = voxelize_planned(plan, v)
+            ok = bool(np.array_equal(np.asarray(occ_new, bool),
+                                     np.asarray(occ, bool)))
+            dt_cnt, cs2 = time_call(
+                lambda plan=plan: voxelize_planned(plan, v,
+                                                   count_only=True)[1],
+                runs)
+            emit(stage="V2", max_buckets=mb, ms=round(dt, 2),
+                 count_only_ms=round(dt_cnt, 2), slots_padded=padded,
+                 occupancy_match=ok,
+                 set_calls_match=int(calls_new) == int(grid.set_calls),
+                 compile_s=round(cs, 1), compile_cnt_s=round(cs2, 1))
 
     if "I" in stages:
         hit_t = trace(o, d, rounds=3)

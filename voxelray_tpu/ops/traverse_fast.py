@@ -325,12 +325,16 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
     ff_list = (tuple(fine_frac) if isinstance(fine_frac, (tuple, list))
                else (fine_frac,) * rounds)
     assert len(ff_list) >= rounds
-    # The FINAL round's fine buffer is always full-width: last-round fine
-    # overflow has no retry round to rewind into, so any ff > 1 there
-    # silently drops hits on dense-candidate scenes (camera inside
-    # geometry).  any_hit pinned this invariant in round 2; the nearest
-    # -hit path now enforces it too (ADVICE r2 item 2).
-    ff_list = ff_list[: rounds - 1] + (1,) + ff_list[rounds:]
+    # WITHOUT the drain, the FINAL round's fine buffer must be
+    # full-width: last-round fine overflow has no retry round to rewind
+    # into, so any ff > 1 there silently drops hits on dense-candidate
+    # scenes (camera inside geometry) — ADVICE r2 item 2.  WITH the
+    # drain, overflow rays rewind to their first candidate brick, stay
+    # active, and the drain serves them exactly — so the caller's ff
+    # stands and the final round's fine-words gather stays compacted
+    # (k x n/ff instead of k x n indices).
+    if not drain:
+        ff_list = ff_list[: rounds - 1] + (1,) + ff_list[rounds:]
 
     def one_round(ox, oy, oz, dx, dy, dz, rcx, rcy, rcz, act, tmn, tmx,
                   fine_frac=fine_frac, k_hits=0):
@@ -613,9 +617,9 @@ def _tuned_chunk(accel, chunk):
 
 def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
                     t_max=TMAX, rounds=1, chunk=64, fine="walk",
-                    admit=None, k_hits=6, two_level=None, fine_frac=8,
-                    resident_frac=4, drain=True, drain_frac=64,
-                    drain_k=8, return_stats=False):
+                    admit=None, k_hits=5, two_level=None, fine_frac=8,
+                    resident_frac=4, admit_frac=4, drain=True,
+                    drain_frac=64, drain_k=8, return_stats=False):
     """(t, cell_lin) nearest voxel hit; same contract as trace_grid_dda.
 
     drain=True (default) makes the trace EXHAUSTIVE: rays still active
@@ -626,13 +630,14 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
     return_stats=True additionally returns n_unresolved (rays that
     overflowed the drain domain; 0 = provably exhaustive result).
 
-    rounds=1 x k_hits=6 is the measured round-3 sweep winner at the
-    full preset (87.5 ms vs 154 for the old r3 x k8 default, identical
-    210157 hits): the drain makes extra full-width rounds pure cost —
-    the per-round fine-words take alone prices 25 ms at 2.07M candidate
-    indices (stage-K in-jit rates), while the compacted drain serves the
-    ~7% stragglers far cheaper.  drain_frac=64 measured best (16 was
-    1.8x worse: an oversized drain domain re-pays full-width glue).
+    rounds=1 x k_hits=5 is the measured round-3 sweep winner at the
+    full preset (69.3 ms tiled vs 154 for the old r3 x k8 default,
+    identical 210157 hits): the drain makes extra full-width rounds
+    pure cost — the per-round fine-words take alone prices 25 ms at
+    2.07M candidate indices (stage-K in-jit rates), while the compacted
+    drain serves the ~7% stragglers far cheaper.  drain_frac=64
+    measured best (16 was 1.8x worse: an oversized drain domain re-pays
+    full-width glue).
 
     admit: optional bool mask (batch shape) — only admitted rays trace
     (others return miss); the round-1 resident buffer is then compacted
@@ -642,8 +647,10 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
     bit-identical to the single-level walk on chip (210114/210114 hits
     on the full preset) and faster there; narrow tables stay
     single-level.  Pass True/False to force.  fine_frac=F compacts
-    candidate rays into an n/F fine buffer (1 = no compaction; the final
-    round is always forced to full width — see _trace_fast_impl).
+    candidate rays into an n/F fine buffer (1 = no compaction).  With
+    the drain on, fine overflow in ANY round — including the last —
+    rewinds the ray and the drain serves it exactly; only drain=False
+    forces the final round full-width (see _trace_fast_impl).
     resident_frac=F compacts straggler rays into n/F buffers for rounds
     2+ (1 = no resident compaction).
     """
@@ -666,8 +673,8 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
                       accel.dims),
         rounds=rounds, chunk=_tuned_chunk(accel, chunk), fine=fine,
         k_hits=k_hits, two_level=two_level, fine_frac=fine_frac,
-        resident_frac=resident_frac, drain=drain, drain_frac=drain_frac,
-        drain_k=drain_k)
+        resident_frac=resident_frac, admit_frac=admit_frac, drain=drain,
+        drain_frac=drain_frac, drain_k=drain_k)
     if return_stats:
         return (t.reshape(batch_shape), lin.reshape(batch_shape),
                 unresolved)
@@ -677,7 +684,7 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
 def any_hit_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
                       t_max=TMAX, rounds=1, chunk=64, fine="walk",
                       admit=None, k_hits=4, two_level=None,
-                      resident_frac=2):
+                      resident_frac=2, admit_frac=4, fine_frac=None):
     """True where some voxel accepts along the ray (shadow query).
 
     rounds=1 x k_hits=4 + the exhaustiveness drain is the round-3 sweep
@@ -692,19 +699,24 @@ def any_hit_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
     An any-hit ray still stops at its first accepted cell, so queues
     deeper than needed stay wasted gather traffic.
 
-    fine_frac is pinned to 1: shadow rays START on surfaces, so nearly
-    every admitted ray has a candidate brick immediately — a primary-ray
-    fine buffer (n/8) overflows every round and 15% of occlusions came
-    out missing on chip (69609 vs 82218 on the full preset) before this
-    was pinned.
+    fine_frac defaults to 2 (not a primary-ray 8): shadow rays START on
+    surfaces, so nearly every admitted ray has a candidate brick
+    immediately — a primary-sized n/8 fine buffer overflowed every
+    round and 15% of occlusions came out missing on chip (69609 vs
+    82218 on the full preset) before round 2 pinned full-width finals;
+    the round-3 drain now serves any overflow exactly, letting the fine
+    gather price half the indices.
     """
-    # ff=(2, 1): round 1's fine buffer holds half the admitted rays —
-    # its overflow rewinds into round 2's n/2 capacity — while the final
-    # round stays full-width (last-round fine overflow has no retry)
-    ff = (2,) + (1,) * max(1, rounds - 1) if rounds > 1 else 1
+    # ff=2: the fine buffer holds half the admitted rays; overflow
+    # rewinds into the next round (or the exhaustiveness drain), so
+    # results stay exact while the fine-words gather prices half the
+    # indices.  fine_frac=None keeps this default; drain=False callers
+    # get the final round forced full-width inside _trace_fast_impl.
+    ff = (2,) * rounds if fine_frac is None else fine_frac
     t, _ = trace_grid_fast(origins, dirs, accel, t_min=t_min, t_max=t_max,
                            rounds=rounds, chunk=chunk, fine=fine,
                            admit=admit, k_hits=k_hits, fine_frac=ff,
                            two_level=two_level,
-                           resident_frac=resident_frac)
+                           resident_frac=resident_frac,
+                           admit_frac=admit_frac)
     return jnp.isfinite(t)
