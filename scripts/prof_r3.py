@@ -378,6 +378,74 @@ def main():
             emit(stage="H2", stop_after=f"words_{phase}",
                  ms=round(dt, 2), compile_s=round(cs, 1))
 
+    if "H3" in stages:
+        # sorted-scatter primitive A/B at the phase-2b lane count: the
+        # extraction's placement ranks ASCEND (compaction preserves
+        # linear order), so indices_are_sorted / unique_indices hints —
+        # or a sorted scatter-max with drop-lanes writing a losing
+        # payload — may unlock a faster TPU scatter lowering than the
+        # unsorted trash-slot set the phases use today.
+        from voxelray_tpu.ops.aabbs import count_nonzero_bytes
+        nzb = count_nonzero_bytes(occ)
+        bcap = -(-int(nzb * 1.1) // 8192) * 8192
+        lanes = 8 * bcap
+        cnt = int(np.asarray(occ).astype(bool).sum())
+        cap = -(-cnt // 4096) * 4096 + 4096
+        rng = np.random.default_rng(0)
+        # synthetic ascending ranks: ~cnt of the lanes keep (rank<cap),
+        # the rest drop — mirrors the real keep density
+        keep_np = np.zeros(lanes, bool)
+        keep_np[rng.choice(lanes, size=cnt, replace=False)] = True
+        rank_np = np.cumsum(keep_np) - 1
+        vals = jnp.asarray(rng.integers(0, 1 << 20, lanes, dtype=np.int32))
+        keep = jnp.asarray(keep_np)
+        rank = jnp.asarray(rank_np.astype(np.int32))
+
+        reps = 10   # in-jit dependency-chained copies (stage-K pattern:
+        #             standalone dispatches are dispatch-dominated)
+
+        def chained(scatter_one):
+            @jax.jit
+            def run(vals):
+                acc = jnp.int32(0)
+                for _ in range(reps):
+                    out = scatter_one(vals)
+                    vals = vals ^ out[0]       # dependency, ~free
+                    acc = acc + out[-1]
+                return acc
+            return run
+
+        def u_unsorted(vals):
+            slot = jnp.where(keep, rank, cap)
+            return jnp.zeros((cap,), jnp.int32).at[slot].set(
+                jnp.where(keep, vals, 0), mode="drop")
+
+        def u_sorted_hint(vals):
+            # drop lanes redirected to the trash slot break monotonicity
+            # (the promise is technically false for interior drops);
+            # measures whether the hint alone changes the lowering
+            slot = jnp.where(keep, rank, cap)
+            return jnp.zeros((cap,), jnp.int32).at[slot].set(
+                jnp.where(keep, vals, 0), mode="drop",
+                indices_are_sorted=True, unique_indices=True)
+
+        def u_sorted_max(vals):
+            # truly sorted: every lane scatters to clip(rank, 0) (non-
+            # decreasing), drop lanes lose the max against the kept
+            # writer / the -1 init
+            slot = jnp.clip(rank, 0, cap - 1)
+            return jnp.full((cap,), -1, jnp.int32).at[slot].max(
+                jnp.where(keep, vals, -1), mode="promise_in_bounds",
+                indices_are_sorted=True)
+
+        for name, u in (("unsorted_set", u_unsorted),
+                        ("sorted_hint_set", u_sorted_hint),
+                        ("sorted_max", u_sorted_max)):
+            fn = chained(u)
+            dt, cs = time_call(lambda fn=fn: fn(vals), runs)
+            emit(stage="H3", prim=name, lanes=lanes,
+                 ms_per_op=round(dt / reps, 3), compile_s=round(cs, 1))
+
     if "J" in stages:
         from voxelray_tpu.models.scene import build_scene
         from voxelray_tpu.render.pipeline import render_image
