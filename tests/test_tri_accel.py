@@ -1,7 +1,21 @@
 """Triangle-grid acceleration vs the brute Möller-Trumbore reference."""
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _no_compile_cache():
+    """XLA:CPU SEGFAULTS serializing this module's trace_triangles_grid
+    executable for the persistent compile cache (put_executable_and_time
+    -> executable.serialize(); reproduced at tests tail, exit 139, every
+    run since the cell-midpoint march fix).  Skip persistent-cache writes
+    for the whole module; everything recompiles in-process, which is
+    slower but cannot crash the suite."""
+    jax.config.update("jax_enable_compilation_cache", False)
+    yield
+    jax.config.update("jax_enable_compilation_cache", True)
 
 from voxelray_tpu.io import meshes
 from voxelray_tpu.ops.intersect import make_camera_rays
