@@ -12,10 +12,19 @@ def _no_compile_cache():
     -> executable.serialize(); reproduced at tests tail, exit 139, every
     run since the cell-midpoint march fix).  Skip persistent-cache writes
     for the whole module; everything recompiles in-process, which is
-    slower but cannot crash the suite."""
+    slower but cannot crash the suite.
+
+    The config flip alone is NOT enough in a full-suite run:
+    compilation_cache.is_cache_used() memoizes its decision at the first
+    compile of the PROCESS (_cache_checked), so once any earlier module
+    compiled with the cache on, the flag change is ignored and the crash
+    returns.  reset_cache() clears that memo so the flag is re-read."""
+    from jax._src import compilation_cache
     jax.config.update("jax_enable_compilation_cache", False)
+    compilation_cache.reset_cache()
     yield
     jax.config.update("jax_enable_compilation_cache", True)
+    compilation_cache.reset_cache()
 
 from voxelray_tpu.io import meshes
 from voxelray_tpu.ops.intersect import make_camera_rays
