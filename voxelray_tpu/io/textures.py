@@ -12,8 +12,11 @@ Replaces the reference's stb_image upload path (hello_vulkan.cpp:286-349):
 Formats (stb_image reads PNG/JPG/BMP/TGA/PSD/GIF/HDR/PIC/PNM): this
 decoder covers PNG (8-bit RGB/RGBA/gray, no interlacing), BMP
 (uncompressed 24/32-bit bottom-up or top-down), TGA (types 2/3/10/11:
-uncompressed + RLE truecolor/gray, 24/32/8-bit), and PNM (P2/P3/P5/P6).
-Anything else falls back to magenta like a failed stb load.
+uncompressed + RLE truecolor/gray, 24/32/8-bit), PNM (P2/P3/P5/P6),
+JPEG (baseline + progressive, io/jpeg.py), and — via io/formats.py —
+Radiance HDR, PSD, GIF (first frame), and Softimage PIC: the full
+stb_image container set.  Anything else falls back to magenta like a
+failed stb load.
 """
 from __future__ import annotations
 
@@ -240,7 +243,7 @@ def read_pnm(path: str) -> np.ndarray:
 def read_image(path: str) -> np.ndarray:
     """Sniff the container and decode -> (H, W, C) uint8."""
     with open(path, "rb") as fh:
-        head = fh.read(8)
+        head = fh.read(10)
     if head[:8] == b"\x89PNG\r\n\x1a\n":
         return read_png(path)
     if head[:2] == b"\xff\xd8":
@@ -250,6 +253,18 @@ def read_image(path: str) -> np.ndarray:
         return read_bmp(path)
     if head[:2] in (b"P2", b"P3", b"P5", b"P6"):
         return read_pnm(path)
+    if head[:10] == b"#?RADIANCE" or head[:6] == b"#?RGBE":
+        from .formats import read_hdr
+        return read_hdr(path)
+    if head[:4] == b"8BPS":
+        from .formats import read_psd
+        return read_psd(path)
+    if head[:4] == b"GIF8":
+        from .formats import read_gif
+        return read_gif(path)
+    if head[:4] == b"\x53\x80\xf6\x34":
+        from .formats import read_pic
+        return read_pic(path)
     if path.lower().endswith(".tga"):
         return read_tga(path)
     raise ValueError(f"unrecognized image format: {path}")
