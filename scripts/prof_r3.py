@@ -532,6 +532,48 @@ def main():
             emit(stage="J2", what=f"shadows_{label}", ms=round(dt, 2),
                  mrays=round(W * H / dt / 1e3, 2), compile_s=round(cs, 1))
 
+    if "T" in stages:
+        # triangle-path acceleration at mesh scale (VERDICT r2 item 5's
+        # "done" bar: ~100k-tri mesh rendered as TRIANGLE geometry in
+        # < 10x the voxel-path time).  81,920-tri icosphere, 1280x720.
+        from voxelray_tpu.ops.tri_accel import (build_tri_accel,
+                                                trace_triangles_grid)
+        tv, tf = meshes.icosphere(6)
+        tri = tv[tf]
+        t0s = time.perf_counter()
+        ta = build_tri_accel(jnp.asarray(tri[:, 0]), jnp.asarray(tri[:, 1]),
+                             jnp.asarray(tri[:, 2]), res=96)
+        jax.block_until_ready(ta.cell_tris)
+        build_s = time.perf_counter() - t0s
+        tw, th = 1280, 720
+        tcam = Camera(eye=(2.2, 1.4, -2.2), center=(0.0, 0.0, 0.0))
+        _, _, tvi, tpi = tcam.matrices(tw, th)
+        to, td = make_camera_rays(tw, th, tvi, tpi)
+        to = to.reshape(-1, 3)
+        td = td.reshape(-1, 3)
+
+        def tri_trace():
+            return trace_triangles_grid(to, td, ta)[0]
+
+        dt, cs = time_call(tri_trace, runs)
+        hits = int(np.isfinite(np.asarray(tri_trace())).sum())
+        emit(stage="T", what="tri_grid_trace_81920", ms=round(dt, 2),
+             n_rays=tw * th, hits=hits, build_s=round(build_s, 2),
+             mrays=round(tw * th / dt / 1e3, 2), compile_s=round(cs, 1))
+        # voxel-path yardstick: same mesh voxelized at 192^3, same rays
+        tgrid = GridBool.from_mesh(tv, tf, 2.0 / 192)
+        tscene_accel = build_accel(
+            jnp.asarray(tgrid.occupancy()), tgrid.origin,
+            tgrid.voxel_size)
+
+        def vox_trace():
+            return trace_grid_fast(to, td, tscene_accel)[0]
+
+        dt2, cs2 = time_call(vox_trace, runs)
+        emit(stage="T", what="voxel_trace_same_rays", ms=round(dt2, 2),
+             ratio_tri_over_vox=round(dt / max(dt2, 1e-9), 2),
+             compile_s=round(cs2, 1))
+
     if "V" in stages:
         # voxelize with the effective-window bucketing (dead +2-slack
         # slabs cut host-side): slot count and wall-clock vs round 2's

@@ -17,7 +17,7 @@ for step in $steps; do
   case $step in
     prof)
       echo "=== prof $(date -u +%H:%M:%S) ===" >> /tmp/r3_chain.log
-      PROF_STAGES=V2,H2,H3,J2 PROF_RUNS=3 \
+      PROF_STAGES=V2,H2,H3,J2,T PROF_RUNS=3 \
         python scripts/prof_r3.py > /tmp/r3_prof.jsonl 2> /tmp/r3_prof.err
       echo "prof exit=$?" >> /tmp/r3_chain.log ;;
     bench)
