@@ -245,12 +245,19 @@ def test_last_round_fine_overflow_has_no_silent_miss():
     t_d, lin_d = trace_grid_dda(
         o, d, jnp.asarray(occ.reshape(-1)), jnp.zeros(3, jnp.float32),
         dims=(24, 24, 24), voxel_size_static=0.1)
-    t_f, lin_f = trace_grid_fast(o, d, accel, chunk=8, rounds=1,
-                                 fine_frac=8)
     hd = np.isfinite(np.asarray(t_d))
     assert hd.mean() > 0.5
+    # drain on (default): overflow rewinds into the drain, stays exact
+    t_f, lin_f = trace_grid_fast(o, d, accel, chunk=8, rounds=1,
+                                 fine_frac=8)
     assert np.array_equal(hd, np.isfinite(np.asarray(t_f)))
     assert np.array_equal(np.asarray(lin_d)[hd], np.asarray(lin_f)[hd])
+    # drain OFF: the ff-forcing branch itself is the safety net — the
+    # final round must run full-width regardless of the fine_frac knob
+    t_n, lin_n = trace_grid_fast(o, d, accel, chunk=8, rounds=1,
+                                 fine_frac=8, drain=False)
+    assert np.array_equal(hd, np.isfinite(np.asarray(t_n)))
+    assert np.array_equal(np.asarray(lin_d)[hd], np.asarray(lin_n)[hd])
 
 
 def test_drain_makes_trace_exhaustive():

@@ -155,3 +155,25 @@ def test_two_meshes_depth_order():
     # brute finds 36/768 = 4.69% hits here (small cube, wide FOV) — the
     # floor only guards against a degenerate all-miss comparison
     _check_match(tri, ta, o, d, require_hits=0.04)
+
+
+def test_candidate_cap_starvation_stays_exact(sphere):
+    """Review r3: a lap serves at most n/cand_frac rays, so with a tiny
+    candidate cap and every ray needing the march the drain needs
+    cand_frac x more laps than cells-per-ray — the old lap bound
+    starved and returned silent misses.  cand_frac=64 with rounds=1
+    pushes nearly all work through the capped drain; the result must
+    still match brute exactly."""
+    tri, ta = sphere
+    o, d = _cam_rays((2.2, 1.4, -2.2), (0.0, 0.0, 0.0), W=48, H=36)
+    t_b, id_b, _, _ = trace_triangles_brute(
+        o, d, jnp.asarray(tri[:, 0]), jnp.asarray(tri[:, 1]),
+        jnp.asarray(tri[:, 2]))
+    t_g, id_g, _, _, unresolved = trace_triangles_grid(
+        o, d, ta, chunk=8, rounds=1, cand_frac=64, return_stats=True)
+    hb = np.isfinite(np.asarray(t_b))
+    assert int(unresolved) == 0
+    assert hb.mean() > 0.05
+    assert np.array_equal(hb, np.isfinite(np.asarray(t_g)))
+    assert np.allclose(np.asarray(t_g)[hb], np.asarray(t_b)[hb],
+                       rtol=3e-6, atol=1e-7)

@@ -128,3 +128,29 @@ def test_voxelize_planned_matches_mesh():
     # count_only skips the occupancy scatter but counts the same hits
     _, calls_c = voxelize_planned(plan, v, count_only=True)
     assert int(calls_c) == int(calls)
+
+
+def test_deform_safe_plan_bit_exact_under_deformation():
+    """Review r3: the default plan's dead-slab cut is proven only for
+    the plan-time vertices; a deform_safe plan buckets by the full
+    reference windows and must stay bit-exact against the oracle for
+    any deformation whose windows fit the plan shapes."""
+    from voxelray_tpu.io import meshes
+    from voxelray_tpu.oracle import oracle_voxelize
+    from voxelray_tpu.ops.voxelize import plan_voxelize
+
+    v, f = meshes.bunny_like(1)
+    vs = 0.17
+    # small deformation: same topology, windows stay within the rest
+    # pose's reference shapes (bucket merge slack absorbs the rest)
+    rng = np.random.default_rng(11)
+    v_def = (v + 0.02 * np.sin(v[:, [1, 2, 0]] * 5.0)).astype(np.float32)
+    from voxelray_tpu.ops.geometry import mesh_bbox
+    bb_min, bb_max = mesh_bbox(v)
+    plan = plan_voxelize(v, f, vs, deform_safe=True, max_buckets=5)
+    occ, calls = plan(np.asarray(v_def))
+    ref = oracle_voxelize(v_def, f, vs, bb_min=bb_min, bb_max=bb_max)
+    assert ref.dims == plan.dims
+    assert np.array_equal(np.asarray(occ, bool),
+                          np.asarray(ref.occupancy, bool))
+    assert int(calls) == int(ref.set_calls)

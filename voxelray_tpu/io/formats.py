@@ -229,6 +229,8 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
             if code == end:
                 return bytes(out[:n_pixels])
             if prev is None:
+                if code >= len(table):
+                    raise ValueError("GIF: bad LZW code")
                 entry = table[code]
             elif code < len(table):
                 entry = table[code]

@@ -104,7 +104,7 @@ class _BitReader:
         """Skip to the next marker (end of this scan's entropy data)."""
         self.nbits = 0
         p = self.pos
-        while p < len(self.data):
+        while p + 1 < len(self.data):
             if self.data[p] == 0xFF and self.data[p + 1] != 0x00:
                 return p
             p += 1

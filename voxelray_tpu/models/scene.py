@@ -283,6 +283,21 @@ def build_scene(models=None, grid=None, aabbs=None,
         # brick walk skips the empty bulk
         res = int(np.clip(round(float(len(tri_v0)) ** (1 / 2.2)), 16, 256))
         ta = build_tri_accel(tri_v0, tri_v1, tri_v2, res=res)
+        if ta.overflow_cells:
+            # a cell with more triangles than the padded list width
+            # would silently skip the truncated tail during traversal
+            # (wrong nearest hit / false miss).  Correctness beats
+            # speed: retry with the true widest cell, or fall back to
+            # the exact brute path if that row width is unreasonable.
+            ta = build_tri_accel(tri_v0, tri_v1, tri_v2, res=res,
+                                 max_l_width=4096)
+            if ta.overflow_cells:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "tri accel: %d cells overflow even at l_width 4096; "
+                    "using exact brute triangle traversal",
+                    ta.overflow_cells)
+                ta = None
 
     as_j = jnp.asarray
     return Scene(

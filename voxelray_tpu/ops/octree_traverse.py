@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .compact import compact_mask
 from .intersect import TMAX, TMIN
 
 __all__ = ["trace_octree", "any_hit_octree"]
@@ -354,12 +355,7 @@ def _trace_octree_flat_impl(o, d, region_map, node_start, node_count,
 
     def outer_body(st):
         alive_f, t_cur_f, (best_t, best_lin), outer = st
-        pos = jnp.cumsum(alive_f.astype(jnp.int32)) - 1
-        slot = jnp.where(alive_f & (pos < cap_d), pos, cap_d)
-        sel = jnp.full((cap_d,), n, jnp.int32).at[slot].set(
-            jnp.arange(n, dtype=jnp.int32), mode="drop")
-        live = sel < n
-        sel_c = jnp.minimum(sel, n - 1)
+        sel, live, sel_c, _ = compact_mask(alive_f, cap_d, n)
         oo = o[sel_c]
         dd = d[sel_c]
         ii = inv[sel_c]

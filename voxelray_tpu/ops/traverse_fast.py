@@ -52,6 +52,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .compact import compact_mask
 from .intersect import TMAX, TMIN
 from .pallas.grid_walk import LANES, coarse_walk
 
@@ -389,12 +390,7 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
         if fcap < m:
             # compact rays with >= 1 candidate brick before the gather:
             # measured, only ~12% of primary rays have one
-            pos = jnp.cumsum(has.astype(jnp.int32)) - 1
-            fslot = jnp.where(has & (pos < fcap), pos, fcap)
-            fsel = jnp.full((fcap,), m, jnp.int32).at[fslot].set(
-                jnp.arange(m, dtype=jnp.int32), mode="drop")
-            flive = fsel < m
-            fsel_c = jnp.minimum(fsel, m - 1)
+            fsel, flive, fsel_c, pos = compact_mask(has, fcap, m)
             ovf = has & (pos >= fcap)
         else:
             fcap = m
@@ -467,13 +463,7 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
     for r in range(rounds):
         cap = caps[r]
         if cap < n:
-            active = act_i > 0
-            pos = jnp.cumsum(act_i) - 1
-            slot = jnp.where(active & (pos < cap), pos, cap)
-            sel = jnp.full((cap,), n, jnp.int32).at[slot].set(
-                jnp.arange(n, dtype=jnp.int32), mode="drop")
-            live = sel < n
-            sel_c = jnp.minimum(sel, n - 1)
+            sel, live, sel_c, _ = compact_mask(act_i, cap, n)
             # packed ROW gathers (cheap) but scalar COLUMN write-backs:
             # measured on chip a (cap, 4) row scatter costs 3x four
             # 1-D scatters (45.7 vs 15.8 ms at full width)
@@ -546,13 +536,7 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
 
     def outer_body(st):
         act_i, cx, cy, cz, best_t, best_lin, outer = st
-        active = act_i > 0
-        pos = jnp.cumsum(act_i) - 1
-        slot = jnp.where(active & (pos < cap_d), pos, cap_d)
-        sel = jnp.full((cap_d,), n, jnp.int32).at[slot].set(
-            jnp.arange(n, dtype=jnp.int32), mode="drop")
-        live = sel < n
-        sel_c = jnp.minimum(sel, n - 1)
+        sel, live, sel_c, _ = compact_mask(act_i, cap_d, n)
         r8 = rays8[sel_c]
         s4 = jnp.stack([cx, cy, cz, act_i], axis=1)[sel_c]
         dox, doy, doz = r8[:, 0], r8[:, 1], r8[:, 2]

@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .compact import compact_mask
 from .intersect import TMAX, TMIN, hit_triangles
 from .traverse_fast import BrickAccel, build_accel, trace_grid_fast
 
@@ -248,12 +249,7 @@ def _trace_tri_impl(o, d, ta, t_min, t_max, *, ta_static, rounds,
         # compact candidate rays before the (m, L) list gather
         cap = cap_up(-(-n // cand_frac)) if cand_frac > 1 else n
         if cap < n:
-            pos = jnp.cumsum(has.astype(jnp.int32)) - 1
-            slot = jnp.where(has & (pos < cap), pos, cap)
-            sel = jnp.full((cap,), n, jnp.int32).at[slot].set(
-                jnp.arange(n, dtype=jnp.int32), mode="drop")
-            live = sel < n
-            sel_c = jnp.minimum(sel, n - 1)
+            sel, live, sel_c, _ = compact_mask(has, cap, n)
             # rays beyond cap retry next round (t_cur unchanged)
         else:
             sel = sel_c = jnp.arange(n, dtype=jnp.int32)
@@ -307,9 +303,17 @@ def _trace_tri_impl(o, d, ta, t_min, t_max, *, ta_static, rounds,
     # drain-to-empty tail: rays still marching after the static rounds
     # (tangent rays crossing MANY nonempty cells) loop until they resolve
     # or exit — zero iterations in the common case, and a static bound
-    # (a ray visits at most nx+ny+nz cells, one cell consumed per lap)
-    # guarantees termination.  Same pattern as traverse_fast's drain.
-    lap_cap = nx + ny + nz + 3
+    # guarantees termination.  The bound must account for candidate-cap
+    # STARVATION (review r3): a lap serves at most cap = n/cand_frac
+    # rays (one cell each) and overflow rays retry with t_cur unchanged,
+    # so with every ray active the laps needed are
+    # cand_frac * cells_per_ray, not cells_per_ray — a (nx+ny+nz)-only
+    # cap silently returned misses on dense-candidate frames.  Total
+    # cell-visits are <= n * (nx+ny+nz+3) and each lap consumes
+    # min(active, cap) visits, so cand_frac * (nx+ny+nz+3) + 1 is a
+    # true upper bound; the cond still exits the moment the queue
+    # drains, so the common case runs zero iterations either way.
+    lap_cap = max(1, cand_frac) * (nx + ny + nz + 3) + 1
 
     def cond(st):
         return jnp.logical_and(jnp.any(st[0][5]), st[1] < lap_cap)

@@ -387,7 +387,7 @@ def voxelize_dense(tri_verts, origin, *, dims, voxel_size_static, window,
 
 
 def plan_buckets(vertices, faces, origin, voxel_size, dims,
-                 max_buckets: int = 6):
+                 max_buckets: int = 6, effective: bool = True):
     """Group triangles by EXACT per-axis window extents.
 
     Returns [(window_shape, tri_indices), ...].  Greedy merge (smallest
@@ -412,8 +412,18 @@ def plan_buckets(vertices, faces, origin, voxel_size, dims,
     # SAT-false, and any merge-widening above it is re-clipped by that
     # mask.  Occupancy, set_calls, and Vec ranks are unchanged (ranks
     # are mixed-radix in the TRUE window, monotone in (dz, dy, dx)).
-    start, w = _np_effective_extents(vertices, faces, origin, voxel_size,
-                                     dims)
+    # The cut is proven for THESE vertices only — effective=False
+    # buckets by the full reference windows instead, the shape a plan
+    # must use when it will be re-executed against deformed vertices
+    # (review r3: a deformation can stay within the reference window's
+    # trunc+2 slack yet outgrow the cut slab).
+    if effective:
+        start, w = _np_effective_extents(vertices, faces, origin,
+                                         voxel_size, dims)
+    else:
+        start, end = _np_windows(vertices, faces, origin, voxel_size,
+                                 dims)
+        w = np.maximum(end - start, 1).astype(np.int32)
     keys, inverse, counts = np.unique(w, axis=0, return_inverse=True,
                                       return_counts=True)
     order = np.argsort(inverse, kind="stable")
@@ -455,7 +465,14 @@ class VoxelizePlan:
 
     def __init__(self, vertices, faces, voxel_size, *, bb_min=None,
                  bb_max=None, max_buckets=24, chunk=16384,
-                 window_slack=(0, 0, 0)):
+                 window_slack=(0, 0, 0), deform_safe=False):
+        # deform_safe=True buckets by the FULL reference windows (no
+        # dead-slab cut), restoring the original deformation contract:
+        # re-executing the plan against moved vertices stays bit-exact
+        # as long as no triangle's reference window outgrows its bucket
+        # shape.  The default (False) applies the measured ~3x slot cut,
+        # which is proven only for the plan-time vertices — use it for
+        # fixed-geometry reuse (bench re-runs, repeated renders).
         # Measured on chip (round 2, clean solo runs, 1M tris, 512^3):
         # chunk 16384 -> 538 ms, 262144 -> 746 ms (bigger scatter ops do
         # not help), 8192 -> 523 ms; buckets 6/12/24 -> 1008/538/472 ms
@@ -474,7 +491,7 @@ class VoxelizePlan:
                               voxel_size)
         self.chunk = int(chunk)
         buckets = plan_buckets(v, f, self.origin, voxel_size, self.dims,
-                               max_buckets)
+                               max_buckets, effective=not deform_safe)
         # per-bucket static (window, device face-index array)
         self.buckets = [
             (tuple(int(w + s) for w, s in zip(win, window_slack)),
@@ -517,7 +534,10 @@ def voxelize_planned(plan: VoxelizePlan, vertices, scatter="auto",
     shared trash-slot scatter buffer, no per-bucket dispatch or
     occupancy-merge chain.  Occupancy is bit-exact vs the serial
     reference as long as no triangle's window outgrew its plan-time
-    bucket shape (plan from worst-case geometry).  scatter="window"
+    bucket shape — for DEFORMED vertices that guarantee needs a
+    deform_safe=True plan (full reference windows from worst-case
+    geometry); the default plan's dead-slab cut is proven only for the
+    plan-time vertices (see plan_buckets).  scatter="window"
     keeps the old per-bucket A/B path.  count_only=True returns only
     set_calls work (profiling attribution — skips the occupancy
     scatter).

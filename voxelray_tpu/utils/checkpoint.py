@@ -85,7 +85,10 @@ def load_grid(path: str):
         from ..models.octree import REGION_MAP_MAX_BITS, build_region_map
         import dataclasses
         bits = out.bits_per_axis
-        if 0 < bits <= REGION_MAP_MAX_BITS and out.n_items:
+        # rebuild for EMPTY trees too: a fresh build carries a (all-empty)
+        # region map whenever bits fits, and a restored tree must be
+        # structurally identical to a fresh one (jit keys, equality)
+        if 0 < bits <= REGION_MAP_MAX_BITS:
             rm = build_region_map(np.asarray(out.children), bits)
             it4 = np.zeros((out.n_items + out.max_items, 4), np.int32)
             it4[: out.n_items, 0] = np.asarray(out.item_x)
