@@ -23,8 +23,10 @@ def build_parser():
     p = argparse.ArgumentParser(
         prog="voxelray", description=__doc__,
         formatter_class=argparse.RawDescriptionHelpFormatter)
-    p.add_argument("mesh", help=".obj path or registry name")
-    p.add_argument("voxel_size", type=float)
+    p.add_argument("mesh", nargs="?", default=None,
+                   help=".obj path or registry name (optional with "
+                        "--load-grid)")
+    p.add_argument("voxel_size", nargs="?", type=float, default=None)
     p.add_argument("--encoding", default="bool",
                    choices=["bool", "aabbstruct", "vec", "octree"])
     p.add_argument("--width", type=int, default=1280)
@@ -48,6 +50,13 @@ def build_parser():
     p.add_argument("--out", default=None,
                    help="write frames as .npy (or .png when supported)")
     p.add_argument("--save-grid", default=None, help="checkpoint grid .npz")
+    p.add_argument("--load-grid", default=None,
+                   help="resume from a grid checkpoint .npz (skips "
+                        "voxelization; encoding comes from the file)")
+    p.add_argument("--eye", type=float, nargs=3, default=None,
+                   help="camera eye (default: auto-framed orbit start)")
+    p.add_argument("--center", type=float, nargs=3, default=None,
+                   help="camera look-at center")
     p.add_argument("--runs", type=int, default=1,
                    help="Benchmaker-style repeat count for build timing")
     return p
@@ -73,7 +82,12 @@ def load_mesh_arg(name):
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if not args.load_grid and (args.mesh is None
+                               or args.voxel_size is None):
+        parser.error("mesh and voxelSize are required unless --load-grid "
+                     "is given")
 
     # the axon TPU plugin overrides the JAX_PLATFORMS env var at
     # registration; honor an explicit cpu request via jax.config, which
@@ -98,35 +112,48 @@ def main(argv=None):
     from .utils.logging import BuildStats
     from .utils.timing import Benchmarker
 
-    v, f = load_mesh_arg(args.mesh)
-    print(f"Loaded mesh: {len(v)} vertices, {len(f)} triangles")
+    if args.load_grid:
+        # checkpoint/resume: render runs skip re-voxelization entirely
+        # (the capability SURVEY section 5 motivates from the
+        # reference's rebuild-everything startup)
+        from .utils.checkpoint import load_grid
+        grid = load_grid(args.load_grid)
+        enc_map = {"GridBool": "bool", "GridAabbStruct": "aabbstruct",
+                   "GridVec": "vec", "Octree": "octree"}
+        args.encoding = enc_map.get(type(grid).__name__, args.encoding)
+        print(f"Loaded grid checkpoint {args.load_grid} "
+              f"({args.encoding}, dims {grid.dims})")
+    else:
+        v, f = load_mesh_arg(args.mesh)
+        print(f"Loaded mesh: {len(v)} vertices, {len(f)} triangles")
 
-    # ---- voxelize (with the reference's timing prints) ----------------
-    bench = Benchmarker(runs=args.runs, warmup=0)
-    res = bench.measure_build(
-        lambda: build_grid(args.encoding, v, f, args.voxel_size),
-        extract_fn=lambda g: g.get_aabbs(),
-    )
-    grid = res.extra["grid"]
-    from .ops.geometry import mesh_bbox
-    bb_min, bb_max = mesh_bbox(v)
-    print(f"Bounding box: min({bb_min[0]},{bb_min[1]},{bb_min[2]})")
-    print(f"Bounding box: max({bb_max[0]},{bb_max[1]},{bb_max[2]})")
-    dims = grid.dims
-    print(f"Grid dimensions: {dims[0]}x{dims[1]}x{dims[2]}")
-    print(f"Voxel size: {args.voxel_size}")
-    print(f"Total triangles processed: {len(f)}")
-    print(f"Voxel build took {res.build_ms:.2f} ms (avg of {args.runs})")
-    print(f"Aabb build took {res.aabb_ms:.2f} ms")
-    print(f"Total memory usage {res.memory_bytes} bytes")
-    BuildStats().bbox(bb_min, bb_max).grid(dims, args.voxel_size) \
-        .triangles(len(f)).timing(res.build_ms, res.aabb_ms) \
-        .memory(res.memory_bytes).emit()
+        # ---- voxelize (with the reference's timing prints) ------------
+        bench = Benchmarker(runs=args.runs, warmup=0)
+        res = bench.measure_build(
+            lambda: build_grid(args.encoding, v, f, args.voxel_size),
+            extract_fn=lambda g: g.get_aabbs(),
+        )
+        grid = res.extra["grid"]
+        from .ops.geometry import mesh_bbox
+        bb_min, bb_max = mesh_bbox(v)
+        print(f"Bounding box: min({bb_min[0]},{bb_min[1]},{bb_min[2]})")
+        print(f"Bounding box: max({bb_max[0]},{bb_max[1]},{bb_max[2]})")
+        dims = grid.dims
+        print(f"Grid dimensions: {dims[0]}x{dims[1]}x{dims[2]}")
+        print(f"Voxel size: {args.voxel_size}")
+        print(f"Total triangles processed: {len(f)}")
+        print(f"Voxel build took {res.build_ms:.2f} ms (avg of "
+              f"{args.runs})")
+        print(f"Aabb build took {res.aabb_ms:.2f} ms")
+        print(f"Total memory usage {res.memory_bytes} bytes")
+        BuildStats().bbox(bb_min, bb_max).grid(dims, args.voxel_size) \
+            .triangles(len(f)).timing(res.build_ms, res.aabb_ms) \
+            .memory(res.memory_bytes).emit()
 
-    if args.save_grid:
-        from .utils.checkpoint import save_grid
-        save_grid(args.save_grid, grid)
-        print(f"Saved grid checkpoint to {args.save_grid}")
+        if args.save_grid:
+            from .utils.checkpoint import save_grid
+            save_grid(args.save_grid, grid)
+            print(f"Saved grid checkpoint to {args.save_grid}")
 
     # ---- scene --------------------------------------------------------
     models = []
@@ -154,7 +181,19 @@ def main(argv=None):
     light = Light(position=tuple(args.light),
                   intensity=args.light_intensity, type=args.light_type)
 
-    cams = (orbit_path(args.frames) if args.frames > 1 else [Camera()])
+    # camera: explicit --eye/--center (the reference's
+    # CameraManip.setLookat, main.cpp:92), else the default pose /
+    # auto orbit fly-through
+    cam_kw = {}
+    if args.eye is not None:
+        cam_kw["eye"] = tuple(args.eye)
+    if args.center is not None:
+        cam_kw["center"] = tuple(args.center)
+    if args.frames > 1:
+        cams = orbit_path(args.frames,
+                          center=cam_kw.get("center", (0.0, 1.0, 0.0)))
+    else:
+        cams = [Camera(**cam_kw)]
     frames = []
     for i, cam in enumerate(cams):
         t0 = time.perf_counter()
