@@ -24,9 +24,10 @@ def float_to_rgbe(rgb):
     h, w, _ = rgb.shape
     maxc = np.max(rgb, axis=-1)
     e = np.where(maxc > 1e-32, np.ceil(np.log2(np.maximum(maxc, 1e-32))),
-                 -128)
+                 0.0)
     # mantissa must land in [0, 1): bump e where maxc is an exact power
     e = np.where(maxc * np.exp2(-e) >= 1.0, e + 1, e)
+    e = np.where(maxc > 1e-32, e, -128)
     ok = maxc > 1e-32
     scale = np.where(ok, np.exp2(-np.where(ok, e, 0.0)) * 256.0, 0.0)
     rgbe = np.zeros((h, w, 4), np.uint8)
