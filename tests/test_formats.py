@@ -404,3 +404,39 @@ def test_dispatch_and_fallback(tmp_path):
         read_pic(str(bad))
     tex = load_texture(str(bad))
     assert np.array_equal(tex, np.asarray([[[1.0, 0.0, 1.0]]], np.float32))
+
+
+def test_mtl_textures_in_scene_stack(tmp_path):
+    """GIF/HDR textures referenced from an MTL land in the scene's
+    mip-atlas stack with sRGB->linear applied (the full load path a
+    reference user's assets take)."""
+    from voxelray_tpu.io.objload import ObjLoader
+    from voxelray_tpu.models.scene import build_scene
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255],
+                    [255, 255, 0]], np.uint8)
+    idx = np.tile(np.arange(4, dtype=np.uint8), (16, 4))
+    write_gif(str(tmp_path / "t.gif"), idx, pal)
+    write_hdr(str(tmp_path / "t.hdr"),
+              np.full((8, 8, 3), 0.5, np.float32))
+    (tmp_path / "s.mtl").write_text(
+        "newmtl a\nKd 1 1 1\nmap_Kd t.gif\n"
+        "newmtl b\nKd 1 1 1\nmap_Kd t.hdr\n")
+    (tmp_path / "s.obj").write_text(
+        "mtllib s.mtl\nv 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+        "vt 0 0\nvt 1 0\nvt 1 1\nvt 0 1\n"
+        "usemtl a\nf 1/1 2/2 3/3\nusemtl b\nf 1/1 3/3 4/4\n")
+    model = ObjLoader().load_model(str(tmp_path / "s.obj"))
+    scene = build_scene(models=[model])
+    tex = np.asarray(scene.textures)
+    assert tex.shape[0] >= 2
+    meta = np.asarray(scene.tex_meta)
+    # level-0 placement of texture 0 (GIF): 16x16, red at (0, 0)
+    y0, x0, h, w = meta[0, 0]
+    assert (h, w) == (16, 16)
+    assert np.allclose(tex[0, y0, x0], [1.0, 0.0, 0.0], atol=1e-3)
+    # texture 1 (HDR 0.5 gray): linearized (0.5^(1/2.2) quantized to u8
+    # then ^2.2 back) ~= 0.5
+    y1, x1, h1, w1 = meta[1, 0]
+    assert (h1, w1) == (8, 8)
+    assert np.allclose(tex[1, y1, x1], 0.5, atol=0.01)
