@@ -30,6 +30,68 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def adjudicate_hit_diffs(o_np, d_np, occ_np, bb_min, vs, idx,
+                         t_f, lin_f, t_d, lin_d):
+    """Adjudicate fast-vs-dda hit disagreements against the host oracle.
+
+    At headline scale a handful of rays graze a voxel corner with slab
+    interval widths of ~1 ulp of t (~1e-6 relative): there the two
+    backends' differently-FMA-contracted slab evaluations can disagree
+    on whether t1 > max(t0, 0) (the raytrace.rint:46-56 rule) for the
+    tangent cell.  For each differing ray this computes the trusted
+    numpy-f32 (no-FMA) brute slab test over ALL occupied cells — the
+    oracle_render semantics — and accepts the difference only when the
+    fast backend's (cell, t) equals the oracle's nearest hit exactly
+    (cell) / to 2e-6 rel (t, the cross-program float contract).
+
+    Returns a dict with adjudication counts; "adjudication_ok" is True
+    iff every differing ray resolves in the fast backend's favor.
+    """
+    import numpy as np
+
+    TMIN, TMAX = np.float32(0.001), np.float32(10000.0)
+    nz, ny_, nx = occ_np.shape
+    lin_occ = np.flatnonzero(occ_np.reshape(-1))
+    x = lin_occ % nx
+    y = (lin_occ // nx) % ny_
+    z = lin_occ // (nx * ny_)
+    vsf = np.float32(vs)
+    half = np.float32(0.5) * vsf
+    org = np.asarray(bb_min, np.float32)
+    cx = org[0] + (x.astype(np.float32) + 0.5) * vsf
+    cy = org[1] + (y.astype(np.float32) + 0.5) * vsf
+    cz = org[2] + (z.astype(np.float32) + 0.5) * vsf
+    lo = np.stack([cx - half, cy - half, cz - half], axis=1)
+    hi = np.stack([cx + half, cy + half, cz + half], axis=1)
+
+    n_fast_ok = 0
+    for i in idx:
+        oo = o_np[i].astype(np.float32)
+        inv = np.float32(1.0) / d_np[i].astype(np.float32)
+        tbot = inv * (lo - oo)
+        ttop = inv * (hi - oo)
+        t0 = np.minimum(tbot, ttop).max(axis=1)
+        t1 = np.maximum(tbot, ttop).min(axis=1)
+        ok = (t1 > np.maximum(t0, np.float32(0.0))) \
+            & (t0 >= TMIN) & (t0 <= TMAX)
+        t0m = np.where(ok, t0, np.inf)
+        j = int(np.argmin(t0m))
+        orc_t = float(t0m[j])
+        orc_lin = int(lin_occ[j]) if np.isfinite(orc_t) else -1
+        fast_hit = np.isfinite(t_f[i])
+        if fast_hit and orc_lin >= 0:
+            if int(lin_f[i]) == orc_lin and \
+                    abs(float(t_f[i]) - orc_t) <= 2e-6 * abs(orc_t):
+                n_fast_ok += 1
+        elif not fast_hit and orc_lin < 0:
+            n_fast_ok += 1
+    return {
+        "differing_rays": int(len(idx)),
+        "fast_matches_oracle": int(n_fast_ok),
+        "adjudication_ok": bool(n_fast_ok == len(idx)),
+    }
+
+
 def parity_gate():
     """Small-scene cross-backend + oracle parity, on the live backend."""
     import jax
@@ -223,14 +285,37 @@ def main():
             dims=scene.grid_dims,
             voxel_size_static=scene.grid_voxel_size)
         hd = np.isfinite(np.asarray(t_d))
+        lin_f_np = np.asarray(lin_f).reshape(-1)
+        lin_d_np = np.asarray(lin_d).reshape(-1)
+        t_f_np = np.asarray(t_f).reshape(-1)
+        t_d_np = np.asarray(t_d).reshape(-1)
+        hf_l, hd_l = hf.reshape(-1), hd.reshape(-1)
         exhaustive = {
             "fast_hits": int(hf.sum()),
             "dda_hits": int(hd.sum()),
             "unresolved": int(unresolved),
             "hits_equal": bool(np.array_equal(hf, hd)),
             "cells_equal": bool(np.array_equal(
-                np.asarray(lin_f)[hf & hd], np.asarray(lin_d)[hf & hd])),
+                lin_f_np[hf_l & hd_l], lin_d_np[hf_l & hd_l])),
         }
+        exhaustive["exhaustive_ok"] = bool(
+            exhaustive["hits_equal"] and exhaustive["cells_equal"]
+            and exhaustive["unresolved"] == 0)
+        if not exhaustive["exhaustive_ok"] \
+                and exhaustive["unresolved"] == 0:
+            # a small set of corner-grazing rays can legitimately differ
+            # between the two backends' FMA contractions; adjudicate each
+            # against the host f32 oracle (PARITY.md "grazing-cell hits")
+            diff = (hf_l != hd_l) | (hf_l & hd_l & (lin_f_np != lin_d_np))
+            idx = np.flatnonzero(diff)
+            if len(idx) <= 2048:  # more than this is a bug, not FMA
+                adj = adjudicate_hit_diffs(
+                    np.asarray(o_fs).reshape(-1, 3),
+                    np.asarray(d_fs).reshape(-1, 3),
+                    np.asarray(occ).astype(bool), bb_min, vs, idx,
+                    t_f_np, lin_f_np, t_d_np, lin_d_np)
+                exhaustive.update(adj)
+                exhaustive["exhaustive_ok"] = adj["adjudication_ok"]
         log(f"full-scale exhaustiveness: {exhaustive}")
 
     # ---- on-chip parity gate --------------------------------------------
@@ -239,9 +324,7 @@ def main():
     else:
         parity_ok, parity = parity_gate()
         parity.update(exhaustive)
-        parity_ok = parity_ok and all(
-            bool(exhaustive[k]) for k in ("hits_equal", "cells_equal")) \
-            and exhaustive["unresolved"] == 0
+        parity_ok = parity_ok and exhaustive["exhaustive_ok"]
 
     # value/vs_baseline are PRIMARY-ray rate: BASELINE.json's >=100
     # north-star is stated in primary rays (the unit the round-2 judge

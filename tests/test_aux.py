@@ -95,3 +95,37 @@ def test_cli_octree_aov(tmp_path):
     assert aov.shape == (27, 48, 4)  # depth + normal
     finite = np.isfinite(aov[..., 0])
     assert finite.any()
+
+
+def test_bench_adjudicate_hit_diffs():
+    """bench.adjudicate_hit_diffs accepts fast==oracle, rejects wrong."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from bench import adjudicate_hit_diffs
+
+    # one occupied cell at (x=1, y=0, z=0) in a 4^3 grid, unit voxels
+    occ = np.zeros((4, 4, 4), bool)
+    occ[0, 0, 1] = True
+    bb_min = np.zeros(3, np.float32)
+    o = np.array([[1.5, 0.5, -2.0]], np.float32)   # straight at the cell
+    d = np.array([[0.0, 0.0, 1.0]], np.float32)
+    # oracle: slab entry at z=0 plane -> t = 2.0, cell lin = 1
+    t_f = np.array([2.0], np.float32)
+    lin_f = np.array([1], np.int32)
+    t_d = np.array([np.inf], np.float32)           # dda "missed"
+    lin_d = np.array([-1], np.int32)
+    out = adjudicate_hit_diffs(o, d, occ, bb_min, 1.0, np.array([0]),
+                               t_f, lin_f, t_d, lin_d)
+    assert out["adjudication_ok"] and out["fast_matches_oracle"] == 1
+
+    # fast reporting the wrong cell must NOT adjudicate
+    out = adjudicate_hit_diffs(o, d, occ, bb_min, 1.0, np.array([0]),
+                               t_f, np.array([2], np.int32), t_d, lin_d)
+    assert not out["adjudication_ok"]
+
+    # fast missing while the oracle hits must NOT adjudicate
+    out = adjudicate_hit_diffs(o, d, occ, bb_min, 1.0, np.array([0]),
+                               np.array([np.inf], np.float32),
+                               np.array([-1], np.int32), t_d, lin_d)
+    assert not out["adjudication_ok"]
