@@ -9,6 +9,7 @@ Stages (PROF_STAGES=A,B,C default all):
 
 Usage (solo TPU process): JAX_PLATFORMS= python scripts/prof_r4.py
 """
+import functools
 import json
 import os
 import sys
@@ -142,6 +143,54 @@ def main():
             .astype(jnp.int32)))
         dt, _ = time_call(lambda: ssum(keys), runs)
         emit(stage="B", prim="sort_plus_segids", ms=round(dt, 2))
+
+    if "D" in stages:
+        # trace knob sweep at the full preset: the stage-A finding is
+        # that shading glue is free (render_primary == trace), so the
+        # only road to >=30 Mrays/s is the trace itself.  k shrinks the
+        # fine take (prices per k x fcap index); ff shrinks fcap; the
+        # drain absorbs whatever the shallower coverage misses.
+        import itertools
+        base = dict(rounds=1, k_hits=5, fine_frac=8, drain_frac=64,
+                    drain_k=8)
+        variants = [
+            ("defaults", {}),
+            ("k4", dict(k_hits=4)),
+            ("k3", dict(k_hits=3)),
+            ("k2", dict(k_hits=2)),
+            ("k4_ff12", dict(k_hits=4, fine_frac=12)),
+            ("k5_ff12", dict(fine_frac=12)),
+            ("k5_ff16", dict(fine_frac=16)),
+            ("k4_ff16", dict(k_hits=4, fine_frac=16)),
+            ("k4_df32", dict(k_hits=4, drain_frac=32)),
+            ("k4_dk16", dict(k_hits=4, drain_k=16)),
+            ("k3_ff12_dk16", dict(k_hits=3, fine_frac=12, drain_k=16)),
+        ]
+        for name, kv in variants:
+            opts = dict(base, **kv)
+            fn = jax.jit(lambda o, d, opts=opts: trace_grid_fast(
+                o, d, accel, return_stats=True, **opts))
+            dt, cs = time_call(lambda: fn(ot, dt_), runs)
+            t, lin, unres = fn(ot, dt_)
+            emit(stage="D", what=name, ms=round(dt, 2),
+                 hits=int(np.isfinite(np.asarray(t)).sum()),
+                 unresolved=int(unres), compile_s=round(cs, 1))
+
+    if "E" in stages:
+        # render with the stage-D winner knobs (set via PROF_E_OPTS json)
+        opts = json.loads(os.environ.get("PROF_E_OPTS", "{}"))
+        dt, cs = time_call(
+            lambda: render_image(scene, vi, pi, width=W, height=H,
+                                 backend="fast", shadows=False,
+                                 fast_opts=opts or None), runs)
+        emit(stage="E", what="render_primary_opts", opts=opts,
+             ms=round(dt, 2), compile_s=round(cs, 1))
+        dt, cs = time_call(
+            lambda: render_image(scene, vi, pi, width=W, height=H,
+                                 backend="fast", shadows=True,
+                                 fast_opts=opts or None), runs)
+        emit(stage="E", what="render_shadows_opts", opts=opts,
+             ms=round(dt, 2), compile_s=round(cs, 1))
 
     if "C" in stages:
         from voxelray_tpu.ops.aabbs import (count_nonzero_bytes,

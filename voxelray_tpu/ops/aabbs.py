@@ -120,9 +120,18 @@ def _extract_from_words(words, origin, *, capacity, dims,
     if word_capacity is None:
         word_capacity = capacity
     wcap = min(nw, word_capacity)
-    pops = jax.lax.population_count(words).astype(jnp.int32)
-    cell_prefix = jnp.cumsum(pops) - pops         # rank of word's 1st cell
-    count = (cell_prefix[-1] + pops[-1]).astype(jnp.int32)
+    # `count` is the FULL popcount (a reduction, not a prefix sum): it
+    # must exceed the placed-row count when a capacity bound drops cells
+    # — that's the caller's overflow signal (ADVICE r2 item 1).  All
+    # RANKS are computed post-compaction instead (see phase 2a): the
+    # compactions preserve ascending (word, byte) order and every
+    # dropped element is all-zero or a tail, so prefix sums over the
+    # COMPACTED populations equal the global prefix ranks — this removed
+    # a full-width 4.2M popcount+cumsum pair, a compacted-rank gather,
+    # and a second 1.2M-lane rank scatter (round-3 stage-C attribution:
+    # every phase sits at the scatter/cumsum lane wall, so fewer lanes
+    # IS the optimization).
+    count = jnp.sum(jax.lax.population_count(words).astype(jnp.int32))
     if stop_after == "pack":                      # profiling attribution
         return jnp.zeros((capacity, 6), jnp.float32), count
 
@@ -136,11 +145,9 @@ def _extract_from_words(words, origin, *, capacity, dims,
     wlive = cwi < nw
     cwi_c = jnp.minimum(cwi, nw - 1)
     cw = jnp.where(wlive, words[cwi_c], 0)        # (wcap,) u32
-    crank = jnp.where(wlive, cell_prefix[cwi_c], capacity)
     if stop_after == "p1":                        # profiling attribution
         return (jnp.zeros((capacity, 6), jnp.float32)
-                .at[0, 0].set(cw.sum().astype(jnp.float32)
-                              + crank.sum().astype(jnp.float32)), count)
+                .at[0, 0].set(cw.sum().astype(jnp.float32)), count)
 
     # phase 2a: split compacted words into bytes and compact the NONZERO
     # bytes (scatter cost on this TPU prices per update LANE, ~132M/s
@@ -158,33 +165,35 @@ def _extract_from_words(words, origin, *, capacity, dims,
     bcap = max(1, bcap)
     byte_sh = jnp.arange(4, dtype=jnp.uint32) * 8
     bytes_ = ((cw[:, None] >> byte_sh) & 0xFF).astype(jnp.uint32)
-    bpops = jax.lax.population_count(bytes_).astype(jnp.int32)
-    # rank of each byte's first cell = word rank + pops of lower bytes
-    brank = crank[:, None] + jnp.cumsum(bpops, axis=1) - bpops
     bnz = (bytes_ != 0) & wlive[:, None]
     bpos = jnp.cumsum(bnz.reshape(-1).astype(jnp.int32)) - 1
     bkeep = bnz.reshape(-1) & (bpos < bcap)
     bslot = jnp.where(bkeep, bpos, bcap)
-    # pack (byte value, byte index in word, word row) into one update so
-    # phase 2a is ONE scatter; rank goes in a second
-    # pack as value | byte_row << 8 (byte_row = word*4 + byte index,
-    # < 2^23 even at 512^3, so the packed int32 never overflows)
+    # pack (byte value, byte index in word) into one update so phase 2a
+    # is ONE scatter: value | byte_row << 8 (byte_row = word*4 + byte
+    # index, < 2^23 even at 512^3, so the packed int32 never overflows)
     byte_row = (cwi_c[:, None] * 4
                 + jnp.arange(4, dtype=jnp.int32)[None, :])
     packed = (bytes_.astype(jnp.int32) | (byte_row << 8)).reshape(-1)
     cb = jnp.zeros((bcap,), jnp.int32).at[bslot].set(
         jnp.where(bkeep, packed, 0), mode="drop")
-    cbrank = jnp.full((bcap,), capacity, jnp.int32).at[bslot].set(
-        jnp.where(bkeep, brank.reshape(-1), capacity), mode="drop")
     if stop_after == "p2a":                       # profiling attribution
         return (jnp.zeros((capacity, 6), jnp.float32)
-                .at[0, 0].set(cb.sum().astype(jnp.float32)
-                              + cbrank.sum().astype(jnp.float32)), count)
+                .at[0, 0].set(cb.sum().astype(jnp.float32)), count)
 
     # phase 2b: expand the 8 bit lanes of each nonzero byte, place by
-    # prefix-popcount rank (8 * bcap updates)
+    # prefix-popcount rank (8 * bcap updates).  Ranks come from the
+    # COMPACTED byte populations: compaction preserved ascending
+    # (word, byte) order — which is ascending global rank — and dropped
+    # elements are all-zero (contribute 0) or capacity-dropped tails
+    # (all later ranks), so cumsum over cb's popcounts IS the global
+    # prefix rank.  Empty tail slots of cb get a valid-looking rank but
+    # bits == 0 keeps them out of the scatter.
     shifts8 = jnp.arange(8, dtype=jnp.int32)
     bval = cb & 0xFF
+    bpops_c = jax.lax.population_count(bval.astype(jnp.uint32)) \
+        .astype(jnp.int32)
+    cbrank = jnp.cumsum(bpops_c) - bpops_c
     bits = (bval[:, None] >> shifts8) & 1                    # (bcap, 8)
     in_byte_rank = jnp.cumsum(bits, axis=1) - bits
     rank = cbrank[:, None] + in_byte_rank
@@ -202,7 +211,7 @@ def _extract_from_words(words, origin, *, capacity, dims,
     # the caller's overflow signal for either bound (ADVICE r2 item 1).
     # (byte-capacity drops are tail ranks too: bnz iterates in (word,
     # byte) order, which is ascending rank)
-    kept = jnp.sum(jnp.where(bkeep, bpops.reshape(-1), 0))
+    kept = cbrank[-1] + bpops_c[-1]
     valid = jnp.arange(capacity) < jnp.minimum(count, kept)
     return jnp.where(valid[:, None], aabbs, 0.0), count
 
