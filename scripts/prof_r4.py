@@ -176,6 +176,53 @@ def main():
                  hits=int(np.isfinite(np.asarray(t)).sum()),
                  unresolved=int(unres), compile_s=round(cs, 1))
 
+    if "F" in stages:
+        # continuation mini-rounds vs the drain (stage-D follow-up):
+        # attribution first (drain cost via drain=False), then the
+        # cont ladder.
+        base = dict(rounds=1, k_hits=5, fine_frac=8, drain_frac=64,
+                    drain_k=8)
+        variants = [
+            ("nocont_nodrain", dict(cont_rounds=0, drain=False)),
+            ("nocont", dict(cont_rounds=0)),
+            ("cont1", dict(cont_rounds=1)),
+            ("cont2", dict(cont_rounds=2)),
+            ("cont3", dict(cont_rounds=3)),
+            ("cont2_nodrain", dict(cont_rounds=2, drain=False)),
+            ("cont2_k12", dict(cont_rounds=2, cont_k=12)),
+            ("cont2_cf8", dict(cont_rounds=2, cont_frac=8)),
+            ("cont1_k16", dict(cont_rounds=1, cont_k=16)),
+        ]
+        for name, kv in variants:
+            opts = dict(base, **kv)
+            fn = jax.jit(lambda o, d, opts=opts: trace_grid_fast(
+                o, d, accel, return_stats=True, **opts))
+            dt, cs = time_call(lambda: fn(ot, dt_), runs)
+            t, lin, unres = fn(ot, dt_)
+            emit(stage="F", what=name, ms=round(dt, 2),
+                 hits=int(np.isfinite(np.asarray(t)).sum()),
+                 unresolved=int(unres), compile_s=round(cs, 1))
+        # shadow path with continuation
+        trace = jax.jit(lambda o, d: trace_grid_fast(o, d, accel))
+        t_hit = trace(ot, dt_)[0]
+        hit = jnp.isfinite(t_hit)
+        p = ot + dt_ * jnp.where(hit, t_hit, 1.0)[:, None]
+        ldir = jnp.asarray([0.45, 0.8, 0.4], jnp.float32)
+        ldir = ldir / jnp.linalg.norm(ldir)
+        ld = jnp.broadcast_to(ldir, p.shape)
+        for name, kv in [("ah_cont0", dict(cont_rounds=0)),
+                         ("ah_cont1", dict(cont_rounds=1)),
+                         ("ah_cont1_af8", dict(cont_rounds=1,
+                                               admit_frac=8)),
+                         ("ah_cont2_af8", dict(cont_rounds=2,
+                                               admit_frac=8))]:
+            ah = jax.jit(lambda p, ld, adm, kv=kv: any_hit_grid_fast(
+                p, ld, accel, admit=adm, **kv))
+            dt, cs = time_call(lambda: ah(p, ld, hit), runs)
+            occl = int(np.asarray(ah(p, ld, hit)).sum())
+            emit(stage="F", what=name, ms=round(dt, 2), occl=occl,
+                 compile_s=round(cs, 1))
+
     if "E" in stages:
         # render with the stage-D winner knobs (set via PROF_E_OPTS json)
         opts = json.loads(os.environ.get("PROF_E_OPTS", "{}"))

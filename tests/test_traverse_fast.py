@@ -188,6 +188,9 @@ def test_two_level_walk_random_rays(setup):
     dict(fine_frac=1),           # no candidate compaction
     dict(rounds=3),
     dict(k_hits=2),
+    dict(cont_rounds=0),         # no continuation mini-rounds
+    dict(cont_rounds=3, cont_k=4, cont_frac=2),
+    dict(k_hits=2, cont_rounds=1, cont_k=16),
 ])
 def test_structural_knobs_same_result(setup, kv):
     """Every structural/perf knob of trace_grid_fast is result-invariant:

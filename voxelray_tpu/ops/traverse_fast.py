@@ -257,12 +257,14 @@ def _fine_resolve_block(o, d, brick_lin, t_max, accel, t_min):
     jax.jit,
     static_argnames=("accel_static", "rounds", "chunk", "fine", "k_hits",
                      "fine_frac", "admit_frac", "two_level",
-                     "resident_frac", "drain", "drain_frac", "drain_k"),
+                     "resident_frac", "drain", "drain_frac", "drain_k",
+                     "cont_rounds", "cont_k", "cont_frac"),
 )
 def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
                      rounds, chunk, fine="walk", k_hits=4, fine_frac=4,
                      admit_frac=4, two_level=None, resident_frac=4,
-                     drain=True, drain_frac=64, drain_k=8):
+                     drain=True, drain_frac=64, drain_k=8,
+                     cont_rounds=0, cont_k=8, cont_frac=4):
     n = o.shape[0]
     cx, cy, cz, active = _init_state(
         o, d, accel, t_max,
@@ -428,6 +430,65 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
             bricks_c, words, ftmn, ftmx,
             dims=accel_static_dims, bdims=bdims, origin_key=origin_key,
             voxel_size=vs, bq=chunk)
+
+        if cont_rounds and fcap < m:
+            # Continuation mini-rounds (round-3 stage-D finding: the
+            # drain's per-iteration while_loop scheduling dominates every
+            # knob — k4 cost 144 ms vs k5's 81 with identical hits purely
+            # from extra drain passes).  Stragglers are a SUBSET of the
+            # candidate rays when the walk runs to grid exit (a ray with
+            # no candidate has cont=0), so unresolved candidates can
+            # continue their brick walk compacted WITHIN the fcap domain:
+            # straight-line code, 1/32-width glue, no full-width
+            # compaction scatter (the ~13 ms/round that made extra
+            # full rounds a loss).  The drain stays as the exact-result
+            # backstop for whatever the mini-rounds still miss.
+            ccap = cap_up(-(-fcap // cont_frac))
+            cont_f = jnp.where(flive, jnp.take(cont, fsel_c), 0)
+            for _ in range(cont_rounds):
+                unres = (flive & ~jnp.isfinite(t_c) & (cont_f > 0)) \
+                    .astype(jnp.int32)
+                msel, mlive, msel_c, mpos = compact_mask(unres, ccap, fcap)
+                msel_m = fsel_c[msel_c]           # fcap -> m index chain
+                st4 = jnp.stack([ncx, ncy, ncz], axis=1)[msel_m]
+                r8c = jnp.stack([fx, fy, fz, fdx, fdy, fdz, ftmx, ftmn],
+                                axis=1)[msel_c]
+                mact = mlive
+                hits2, mcx, mcy, mcz, cont2 = coarse_walk(
+                    r8c[:, 0], r8c[:, 1], r8c[:, 2],
+                    r8c[:, 3], r8c[:, 4], r8c[:, 5],
+                    st4[:, 0], st4[:, 1], st4[:, 2],
+                    mact.astype(jnp.int32), r8c[:, 6], accel.coarse,
+                    accel.l2 if use_l2 else None,
+                    bdims=bdims, origin_key=origin_key, brick_world=bw,
+                    bq=chunk, k_hits=cont_k)
+                bricks2 = jnp.where(mact[None, :], hits2, -1)
+                bl2 = jnp.maximum(bricks2, 0).reshape(-1)
+                words2 = jnp.take(accel.fine, bl2, axis=1) \
+                    .reshape(16, cont_k, ccap).transpose(1, 0, 2)
+                t2, lin2 = fine_walk_multi(
+                    r8c[:, 0], r8c[:, 1], r8c[:, 2],
+                    r8c[:, 3], r8c[:, 4], r8c[:, 5],
+                    bricks2, words2, r8c[:, 7], r8c[:, 6],
+                    dims=accel_static_dims, bdims=bdims,
+                    origin_key=origin_key, voxel_size=vs, bq=chunk)
+                got2 = jnp.isfinite(t2) & mact
+                idx_f = jnp.where(got2, msel, fcap)
+                t_c = t_c.at[idx_f].set(t2, mode="drop")
+                lin_c = lin_c.at[idx_f].set(lin2, mode="drop")
+                # walk-state write-back (m domain) for every continued
+                # ray; resolved rays are deactivated by the caller via
+                # the finite t, exited rays via cont2=0
+                idx_m = jnp.where(mact, msel_m, m)
+                ncx = ncx.at[idx_m].set(mcx, mode="drop")
+                ncy = ncy.at[idx_m].set(mcy, mode="drop")
+                ncz = ncz.at[idx_m].set(mcz, mode="drop")
+                cont = cont.at[idx_m].set(cont2, mode="drop")
+                cont_f = cont_f.at[jnp.where(mact, msel, fcap)].set(
+                    cont2, mode="drop")
+                # unresolved rays that overflowed ccap keep their valid
+                # state and cont=1: the next mini-round or the drain
+                # serves them — never dropped
 
         if fcap < m:
             t = jnp.full((m,), jnp.inf, jnp.float32).at[fsel].set(
@@ -603,7 +664,8 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
                     t_max=TMAX, rounds=1, chunk=64, fine="walk",
                     admit=None, k_hits=5, two_level=None, fine_frac=8,
                     resident_frac=4, admit_frac=4, drain=True,
-                    drain_frac=64, drain_k=8, return_stats=False):
+                    drain_frac=64, drain_k=8, cont_rounds=2, cont_k=8,
+                    cont_frac=4, return_stats=False):
     """(t, cell_lin) nearest voxel hit; same contract as trace_grid_dda.
 
     drain=True (default) makes the trace EXHAUSTIVE: rays still active
@@ -622,6 +684,14 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
     drain serves the ~7% stragglers far cheaper.  drain_frac=64
     measured best (16 was 1.8x worse: an oversized drain domain re-pays
     full-width glue).
+
+    cont_rounds=C runs C continuation mini-rounds INSIDE the compacted
+    candidate domain before handing stragglers to the drain: unresolved
+    candidates (a superset of all stragglers when the walk runs to grid
+    exit) recompact into an fcap/cont_frac buffer and continue their
+    walk with cont_k-deep slots — straight-line code at 1/32 width, no
+    full-width glue and no drain while_loop scheduling (the stage-D
+    finding: drain passes, not queue depth, dominated every knob).
 
     admit: optional bool mask (batch shape) — only admitted rays trace
     (others return miss); the round-1 resident buffer is then compacted
@@ -658,7 +728,8 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
         rounds=rounds, chunk=_tuned_chunk(accel, chunk), fine=fine,
         k_hits=k_hits, two_level=two_level, fine_frac=fine_frac,
         resident_frac=resident_frac, admit_frac=admit_frac, drain=drain,
-        drain_frac=drain_frac, drain_k=drain_k)
+        drain_frac=drain_frac, drain_k=drain_k, cont_rounds=cont_rounds,
+        cont_k=cont_k, cont_frac=cont_frac)
     if return_stats:
         return (t.reshape(batch_shape), lin.reshape(batch_shape),
                 unresolved)
@@ -668,7 +739,8 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
 def any_hit_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
                       t_max=TMAX, rounds=1, chunk=64, fine="walk",
                       admit=None, k_hits=4, two_level=None,
-                      resident_frac=2, admit_frac=4, fine_frac=None):
+                      resident_frac=2, admit_frac=4, fine_frac=None,
+                      cont_rounds=1, cont_k=8, cont_frac=4):
     """True where some voxel accepts along the ray (shadow query).
 
     rounds=1 x k_hits=4 + the exhaustiveness drain is the round-3 sweep
@@ -702,5 +774,6 @@ def any_hit_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
                            admit=admit, k_hits=k_hits, fine_frac=ff,
                            two_level=two_level,
                            resident_frac=resident_frac,
-                           admit_frac=admit_frac)
+                           admit_frac=admit_frac, cont_rounds=cont_rounds,
+                           cont_k=cont_k, cont_frac=cont_frac)
     return jnp.isfinite(t)
