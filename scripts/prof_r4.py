@@ -223,6 +223,179 @@ def main():
             emit(stage="F", what=name, ms=round(dt, 2), occl=occl,
                  compile_s=round(cs, 1))
 
+    if "G" in stages:
+        # group compaction + fine-buffer sizing (stage-F finding: the
+        # 26k "stragglers" at ff8 are fcap OVERFLOW rays — candidates
+        # ~288k vs 262144 slots — that only the drain serves; a wider
+        # fine buffer should zero the drain entirely)
+        base = dict(rounds=1, k_hits=5, drain_frac=64, drain_k=8)
+        variants = [
+            ("g_ff8", dict(fine_frac=8)),
+            ("g_ff8_nodrain", dict(fine_frac=8, drain=False)),
+            ("g_ff6", dict(fine_frac=6)),
+            ("g_ff6_nodrain", dict(fine_frac=6, drain=False)),
+            ("g_ff5", dict(fine_frac=5)),
+            ("g_ff4", dict(fine_frac=4)),
+            ("g_ff6_k4", dict(fine_frac=6, k_hits=4)),
+            ("g_ff6_k6", dict(fine_frac=6, k_hits=6)),
+        ]
+        for name, kv in variants:
+            opts = dict(base, **kv)
+            fn = jax.jit(lambda o, d, opts=opts: trace_grid_fast(
+                o, d, accel, return_stats=True, **opts))
+            dt, cs = time_call(lambda: fn(ot, dt_), runs)
+            t, lin, unres = fn(ot, dt_)
+            emit(stage="G", what=name, ms=round(dt, 2),
+                 hits=int(np.isfinite(np.asarray(t)).sum()),
+                 unresolved=int(unres), compile_s=round(cs, 1))
+        trace = jax.jit(lambda o, d: trace_grid_fast(o, d, accel))
+        t_hit = trace(ot, dt_)[0]
+        hit = jnp.isfinite(t_hit)
+        p = ot + dt_ * jnp.where(hit, t_hit, 1.0)[:, None]
+        ldir = jnp.asarray([0.45, 0.8, 0.4], jnp.float32)
+        ldir = ldir / jnp.linalg.norm(ldir)
+        ld = jnp.broadcast_to(ldir, p.shape)
+        # shadow sizing: the fine buffer must cover ~ALL admitted rays
+        # (they start on surfaces), so af8 (cap 262144 just above the
+        # 210k admit population) must pair with ff1; af4+ff2 is the
+        # equivalent-capacity default
+        for name, kv in [("ah_g", dict()),
+                         ("ah_g_af8_ff1", dict(admit_frac=8,
+                                               fine_frac=(1,))),
+                         ("ah_g_k3", dict(k_hits=3))]:
+            ah = jax.jit(lambda p, ld, adm, kv=kv: any_hit_grid_fast(
+                p, ld, accel, admit=adm, **kv))
+            dt, cs = time_call(lambda: ah(p, ld, hit), runs)
+            occl = int(np.asarray(ah(p, ld, hit)).sum())
+            emit(stage="G", what=name, ms=round(dt, 2), occl=occl,
+                 compile_s=round(cs, 1))
+
+    if "H" in stages:
+        # staged ablation of the ff5/group/k5 trace: each stage adds one
+        # pipeline piece; outputs are reduced to scalars so XLA cannot
+        # DCE the stage under test.  Differences between stages are the
+        # true in-context marginal costs (stage-K microbenchmarks
+        # mispredicted the glue).
+        from voxelray_tpu.ops.compact import compact_mask
+        from voxelray_tpu.ops.traverse_fast import _init_state, BRICK
+        from voxelray_tpu.ops.pallas.grid_walk import coarse_walk
+        from voxelray_tpu.ops.pallas.brick_fine import fine_walk_multi
+        from voxelray_tpu.ops.intersect import TMIN, TMAX
+
+        k_hits, chunk, fine_frac = 5, 32, 5
+        bw = float(accel.voxel_size * BRICK)
+        n = ot.shape[0]
+        tmx = jnp.full((n,), TMAX)
+        tmn = jnp.full((n,), np.float32(TMIN))
+        per_block = chunk * 128
+        _c = -(-n // fine_frac)
+        fcap = max(per_block, -(-_c // per_block) * per_block)
+        G = 8
+        ng = n // G
+        gcap = fcap // G
+
+        def upto(stage):
+            def fn(o, d):
+                ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+                dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+                cx, cy, cz, active = _init_state(o, d, accel, tmx)
+                if stage == "init":
+                    return cx.sum() + cy.sum() + active.sum()
+                hits, ncx, ncy, ncz, cont = coarse_walk(
+                    ox, oy, oz, dx, dy, dz, cx, cy, cz,
+                    active.astype(jnp.int32), tmx, accel.coarse, accel.l2,
+                    bdims=accel.bdims, origin_key=accel.origin_key,
+                    brick_world=bw, bq=chunk, k_hits=k_hits)
+                if stage == "walk":
+                    return hits[0].sum() + ncx.sum() + cont.sum()
+                has = hits[0] >= 0
+                has_g = has.reshape(ng, G).any(axis=1)
+                gsel, glive, gsel_c, gpos = compact_mask(has_g, gcap, ng)
+                lane = jnp.arange(G, dtype=jnp.int32)
+                fsel = jnp.where(glive[:, None], gsel[:, None] * G + lane,
+                                 n).reshape(-1)
+                bricks_c = jnp.where(
+                    glive[None, :, None],
+                    jnp.take(hits.reshape(k_hits, ng, G), gsel_c, axis=1),
+                    -1).reshape(k_hits, fcap)
+                r7 = jnp.stack([ox, oy, oz, dx, dy, dz, tmx, tmn],
+                               axis=1).reshape(ng, G * 8)[gsel_c] \
+                    .reshape(fcap, 8)
+                if stage == "compact":
+                    return bricks_c.sum() + r7.sum() + fsel.sum()
+                bl = jnp.maximum(bricks_c, 0).reshape(-1)
+                words = jnp.take(accel.fine, bl, axis=1) \
+                    .reshape(16, k_hits, fcap).transpose(1, 0, 2)
+                if stage == "take":
+                    return words.astype(jnp.float32).sum() \
+                        + bricks_c.sum()
+                t_c, lin_c = fine_walk_multi(
+                    r7[:, 0], r7[:, 1], r7[:, 2], r7[:, 3], r7[:, 4],
+                    r7[:, 5], bricks_c, words, r7[:, 7], r7[:, 6],
+                    dims=accel.dims, bdims=accel.bdims,
+                    origin_key=accel.origin_key,
+                    voxel_size=accel.voxel_size, bq=chunk)
+                if stage == "fine":
+                    return jnp.where(jnp.isfinite(t_c), t_c, 0.0).sum() \
+                        + lin_c.sum()
+                t = jnp.full((n,), jnp.inf, jnp.float32).at[fsel].set(
+                    t_c, mode="drop")
+                lin = jnp.full((n,), -1, jnp.int32).at[fsel].set(
+                    lin_c, mode="drop")
+                return jnp.where(jnp.isfinite(t), t, 0.0).sum() + lin.sum()
+            return jax.jit(fn)
+
+        prev = 0.0
+        for stage in ("init", "walk", "compact", "take", "fine", "out"):
+            fn = upto(stage)
+            dt, cs = time_call(lambda: fn(ot, dt_), runs)
+            emit(stage="H", what=stage, ms=round(dt, 2),
+                 marginal=round(dt - prev, 2), compile_s=round(cs, 1))
+            prev = dt
+        # the full production trace at the same knobs, for the residue
+        fn = jax.jit(lambda o, d: trace_grid_fast(
+            o, d, accel, k_hits=5, fine_frac=5, return_stats=True))
+        dt, cs = time_call(lambda: fn(ot, dt_), runs)
+        emit(stage="H", what="full_trace", ms=round(dt, 2),
+             marginal=round(dt - prev, 2), compile_s=round(cs, 1))
+
+    if "I" in stages:
+        # (a) floor vs relayout split of stage H's 24.8 ms "init":
+        from voxelray_tpu.ops.traverse_fast import _init_state
+        from voxelray_tpu.ops.intersect import TMAX
+
+        n = ot.shape[0]
+        tmx = jnp.full((n,), TMAX)
+        noop = jax.jit(lambda o, d: (o[0, 0] + d[0, 0]))
+        dt, _ = time_call(lambda: noop(ot, dt_), runs)
+        emit(stage="I", what="noop_floor", ms=round(dt, 2))
+        slc = jax.jit(lambda o, d: sum(o[:, i].sum() + d[:, i].sum()
+                                       for i in range(3)))
+        dt, _ = time_call(lambda: slc(ot, dt_), runs)
+        emit(stage="I", what="column_slices", ms=round(dt, 2))
+        ini = jax.jit(lambda o, d: sum(
+            x.sum() for x in _init_state(o, d, accel, tmx)[:3]))
+        dt, _ = time_call(lambda: ini(ot, dt_), runs)
+        emit(stage="I", what="init_state", ms=round(dt, 2))
+        # planar variants: inputs pre-transposed to (3, n) on device
+        otT = jnp.asarray(np.asarray(ot).T.copy())
+        dtT = jnp.asarray(np.asarray(dt_).T.copy())
+        slcT = jax.jit(lambda o, d: sum(o[i].sum() + d[i].sum()
+                                        for i in range(3)))
+        dt, _ = time_call(lambda: slcT(otT, dtT), runs)
+        emit(stage="I", what="planar_rows", ms=round(dt, 2))
+
+        # (b) fine-kernel unroll sweep at the production knobs
+        for unroll in (5, 7, 9, 13):
+            fn = jax.jit(lambda o, d, u=unroll: trace_grid_fast(
+                o, d, accel, k_hits=5, fine_frac=5, return_stats=True,
+                fine_unroll=u))
+            dt, cs = time_call(lambda: fn(ot, dt_), runs)
+            t, lin, unres = fn(ot, dt_)
+            emit(stage="I", what=f"trace_unroll{unroll}", ms=round(dt, 2),
+                 hits=int(np.isfinite(np.asarray(t)).sum()),
+                 unresolved=int(unres), compile_s=round(cs, 1))
+
     if "E" in stages:
         # render with the stage-D winner knobs (set via PROF_E_OPTS json)
         opts = json.loads(os.environ.get("PROF_E_OPTS", "{}"))

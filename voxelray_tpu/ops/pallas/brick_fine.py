@@ -37,7 +37,8 @@ BRICK = 8
 _INF = np.float32(np.inf)
 
 
-def _make_kernel(dims, bdims, origin, voxel_size, bq, k_slots, any_hit):
+def _make_kernel(dims, bdims, origin, voxel_size, bq, k_slots, any_hit,
+                 unroll=13):
     nx, ny, nz = dims
     bx, by, _bz = bdims
     ogx, ogy, ogz = (np.float32(origin[0]), np.float32(origin[1]),
@@ -183,8 +184,10 @@ def _make_kernel(dims, bdims, origin, voxel_size, bq, k_slots, any_hit):
                                        jnp.any(state[5] != 0))
 
             if jax.default_backend() == "tpu":
-                unroll = 13  # two chunks cover the 25-step worst case
-
+                # unroll=13: two chunks cover the 25-step worst case; a
+                # lower unroll wastes fewer bodies when whole blocks
+                # resolve in the first steps (sweepable via the
+                # fine_walk_multi knob)
                 def chunk(state):
                     for _ in range(unroll):
                         state = body(state)
@@ -210,11 +213,11 @@ def _make_kernel(dims, bdims, origin, voxel_size, bq, k_slots, any_hit):
 @functools.partial(
     jax.jit,
     static_argnames=("dims", "bdims", "origin_key", "voxel_size", "bq",
-                     "any_hit"),
+                     "any_hit", "unroll"),
 )
 def fine_walk_multi(ox, oy, oz, dx, dy, dz, bricks, words, t_min, t_max, *,
                     dims, bdims, origin_key, voxel_size, bq=64,
-                    any_hit=False):
+                    any_hit=False, unroll=13):
     """Resolve each ray against its K candidate bricks in ray order.
 
     bricks: (K, N) int32 brick ids (-1 = no brick); words: (K, 16, N)
@@ -246,7 +249,7 @@ def fine_walk_multi(ox, oy, oz, dx, dy, dz, bricks, words, t_min, t_max, *,
     w = w.reshape(k, 16, n_blocks * bq, LANES)
 
     kernel = _make_kernel(dims, bdims, origin_key, voxel_size, bq, k,
-                          any_hit)
+                          any_hit, unroll=unroll)
     grid_spec = pl.GridSpec(
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec((bq, LANES), lambda i: (i, 0),

@@ -258,13 +258,14 @@ def _fine_resolve_block(o, d, brick_lin, t_max, accel, t_min):
     static_argnames=("accel_static", "rounds", "chunk", "fine", "k_hits",
                      "fine_frac", "admit_frac", "two_level",
                      "resident_frac", "drain", "drain_frac", "drain_k",
-                     "cont_rounds", "cont_k", "cont_frac"),
+                     "cont_rounds", "cont_k", "cont_frac", "fine_unroll"),
 )
 def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
                      rounds, chunk, fine="walk", k_hits=4, fine_frac=4,
                      admit_frac=4, two_level=None, resident_frac=4,
                      drain=True, drain_frac=64, drain_k=8,
-                     cont_rounds=0, cont_k=8, cont_frac=4):
+                     cont_rounds=0, cont_k=8, cont_frac=4,
+                     fine_unroll=13):
     n = o.shape[0]
     cx, cy, cz, active = _init_state(
         o, d, accel, t_max,
@@ -389,9 +390,45 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
 
         has = hits[0] >= 0
         fcap = cap_up(-(-m // fine_frac)) if fine_frac > 1 else m
-        if fcap < m:
-            # compact rays with >= 1 candidate brick before the gather:
-            # measured, only ~12% of primary rays have one
+        G = 8
+        if fcap < m and m % G == 0:
+            # GROUP compaction (round-3 stage-F finding: the base trace
+            # cost is dominated by full-width glue, and the per-ray
+            # candidate compaction alone prices an m-lane scatter
+            # ~13 ms at 2.07M rays).  Tiled rays are spatially coherent,
+            # so candidates cluster: compacting GROUPS of 8 consecutive
+            # rays cuts the compaction scatter to m/8 lanes and turns
+            # the per-ray constant gather into 64-wide group rows
+            # (row gathers amortize with width, CLAUDE.md #8).  Rays
+            # without a candidate inside a kept group carry brick -1
+            # through the fine kernel (immediate miss) — the ~12%
+            # candidate density makes the padding cheap against the
+            # glue it removes.
+            ng = m // G
+            gcap = fcap // G
+            has_g = has.reshape(ng, G).any(axis=1)
+            gsel, glive, gsel_c, gpos = compact_mask(has_g, gcap, ng)
+            ovf = (has.reshape(ng, G)
+                   & (gpos >= gcap)[:, None]).reshape(-1)
+            lane = jnp.arange(G, dtype=jnp.int32)
+            fsel = jnp.where(glive[:, None], gsel[:, None] * G + lane,
+                             m).reshape(-1)
+            fsel_c = jnp.minimum(fsel, m - 1)
+            flive = jnp.broadcast_to(glive[:, None], (gcap, G)) \
+                .reshape(-1)
+            bricks_c = jnp.where(
+                glive[None, :, None],
+                jnp.take(hits.reshape(k_hits, ng, G), gsel_c, axis=1),
+                -1).reshape(k_hits, fcap)
+            r7 = jnp.stack([ox, oy, oz, dx, dy, dz, tmx, tmn], axis=1) \
+                .reshape(ng, G * 8)[gsel_c].reshape(fcap, 8)
+            fx, fy, fz = r7[:, 0], r7[:, 1], r7[:, 2]
+            fdx, fdy, fdz = r7[:, 3], r7[:, 4], r7[:, 5]
+            ftmx = r7[:, 6]
+            ftmn = r7[:, 7]
+        elif fcap < m:
+            # per-ray compaction fallback for ray counts not divisible
+            # by the group width
             fsel, flive, fsel_c, pos = compact_mask(has, fcap, m)
             ovf = has & (pos >= fcap)
         else:
@@ -400,7 +437,7 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
             flive = has
             ovf = jnp.zeros((m,), bool)
 
-        if fcap < m:
+        if fcap < m and m % G != 0:
             # wide-row gathers only (per-index cost, round-2 profile):
             # one (k, fcap) take for the candidate bricks, one (fcap, 7)
             # row gather for the ray components
@@ -412,7 +449,7 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
             fdx, fdy, fdz = r7[:, 3], r7[:, 4], r7[:, 5]
             ftmx = r7[:, 6]
             ftmn = r7[:, 7]
-        else:
+        elif fcap >= m:
             # fine_frac=1 (shadow rays): no compaction — skip the
             # pointless stack + identity gather (profiled at ~10 ms per
             # round on the full preset)
@@ -429,7 +466,7 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
             fx, fy, fz, fdx, fdy, fdz,
             bricks_c, words, ftmn, ftmx,
             dims=accel_static_dims, bdims=bdims, origin_key=origin_key,
-            voxel_size=vs, bq=chunk)
+            voxel_size=vs, bq=chunk, unroll=fine_unroll)
 
         if cont_rounds and fcap < m:
             # Continuation mini-rounds (round-3 stage-D finding: the
@@ -471,7 +508,8 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
                     r8c[:, 3], r8c[:, 4], r8c[:, 5],
                     bricks2, words2, r8c[:, 7], r8c[:, 6],
                     dims=accel_static_dims, bdims=bdims,
-                    origin_key=origin_key, voxel_size=vs, bq=chunk)
+                    origin_key=origin_key, voxel_size=vs, bq=chunk,
+                    unroll=fine_unroll)
                 got2 = jnp.isfinite(t2) & mact
                 idx_f = jnp.where(got2, msel, fcap)
                 t_c = t_c.at[idx_f].set(t2, mode="drop")
@@ -623,7 +661,8 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
             t_c, lin_c = fine_walk_multi(
                 dox, doy, doz, ddx, ddy, ddz, bricks_c, words, dtmn,
                 dtmx, dims=accel_static_dims, bdims=bdims,
-                origin_key=origin_key, voxel_size=vs, bq=chunk)
+                origin_key=origin_key, voxel_size=vs, bq=chunk,
+                unroll=fine_unroll)
             got = jnp.isfinite(t_c) & (dact > 0)
             idx = jnp.where(got, sel, n)
             bt = bt.at[idx].set(t_c, mode="drop")
@@ -662,10 +701,10 @@ def _tuned_chunk(accel, chunk):
 
 def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
                     t_max=TMAX, rounds=1, chunk=64, fine="walk",
-                    admit=None, k_hits=5, two_level=None, fine_frac=8,
+                    admit=None, k_hits=5, two_level=None, fine_frac=5,
                     resident_frac=4, admit_frac=4, drain=True,
-                    drain_frac=64, drain_k=8, cont_rounds=2, cont_k=8,
-                    cont_frac=4, return_stats=False):
+                    drain_frac=64, drain_k=8, cont_rounds=0, cont_k=8,
+                    cont_frac=4, fine_unroll=13, return_stats=False):
     """(t, cell_lin) nearest voxel hit; same contract as trace_grid_dda.
 
     drain=True (default) makes the trace EXHAUSTIVE: rays still active
@@ -683,15 +722,21 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
     2.07M candidate indices (stage-K in-jit rates), while the compacted
     drain serves the ~7% stragglers far cheaper.  drain_frac=64
     measured best (16 was 1.8x worse: an oversized drain domain re-pays
-    full-width glue).
+    full-width glue).  fine_frac=5 (not 8) since the group-compaction
+    rework: candidates compact at GROUP granularity (8 consecutive
+    tiled rays), which inflates the population the fine buffer must
+    hold — ff8's buffer overflowed into drain passes on the full preset
+    (83.2 ms) while ff5 holds everything (74.3 ms, stage G).
 
     cont_rounds=C runs C continuation mini-rounds INSIDE the compacted
     candidate domain before handing stragglers to the drain: unresolved
     candidates (a superset of all stragglers when the walk runs to grid
     exit) recompact into an fcap/cont_frac buffer and continue their
-    walk with cont_k-deep slots — straight-line code at 1/32 width, no
-    full-width glue and no drain while_loop scheduling (the stage-D
-    finding: drain passes, not queue depth, dominated every knob).
+    walk with cont_k-deep slots.  Measured on the full preset (round-3
+    stage F): the drain serves the 26k stragglers for ~7 ms while each
+    mini-round costs ~7-10 ms of takes/glue, so the default is 0 — the
+    knob exists for straggler-heavy configs (shallow k_hits on long
+    in-mesh rays) where extra drain passes would otherwise multiply.
 
     admit: optional bool mask (batch shape) — only admitted rays trace
     (others return miss); the round-1 resident buffer is then compacted
@@ -729,7 +774,7 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
         k_hits=k_hits, two_level=two_level, fine_frac=fine_frac,
         resident_frac=resident_frac, admit_frac=admit_frac, drain=drain,
         drain_frac=drain_frac, drain_k=drain_k, cont_rounds=cont_rounds,
-        cont_k=cont_k, cont_frac=cont_frac)
+        cont_k=cont_k, cont_frac=cont_frac, fine_unroll=fine_unroll)
     if return_stats:
         return (t.reshape(batch_shape), lin.reshape(batch_shape),
                 unresolved)
@@ -739,8 +784,8 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
 def any_hit_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
                       t_max=TMAX, rounds=1, chunk=64, fine="walk",
                       admit=None, k_hits=4, two_level=None,
-                      resident_frac=2, admit_frac=4, fine_frac=None,
-                      cont_rounds=1, cont_k=8, cont_frac=4):
+                      resident_frac=2, admit_frac=8, fine_frac=None,
+                      cont_rounds=0, cont_k=8, cont_frac=4):
     """True where some voxel accepts along the ray (shadow query).
 
     rounds=1 x k_hits=4 + the exhaustiveness drain is the round-3 sweep
@@ -755,20 +800,23 @@ def any_hit_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
     An any-hit ray still stops at its first accepted cell, so queues
     deeper than needed stay wasted gather traffic.
 
-    fine_frac defaults to 2 (not a primary-ray 8): shadow rays START on
-    surfaces, so nearly every admitted ray has a candidate brick
-    immediately — a primary-sized n/8 fine buffer overflowed every
-    round and 15% of occlusions came out missing on chip (69609 vs
-    82218 on the full preset) before round 2 pinned full-width finals;
-    the round-3 drain now serves any overflow exactly, letting the fine
-    gather price half the indices.
+    admit_frac=8 x fine_frac=1 is the round-3 stage-G winner (73.8 ms vs
+    95.5 for af4 x ff2 at the full preset, identical 101985 occlusions):
+    shadow rays START on surfaces, so nearly every admitted ray has an
+    immediate candidate — fine compaction buys nothing (and at group
+    granularity it OVERFLOWS: candidate groups exceed fcap/8, each
+    overflow feeding a drain pass), while halving the admit domain
+    halves the walk and state glue.  The fine buffer must cover ~ALL
+    admitted rays: an n/8 buffer once silently dropped 15% of occlusions
+    on chip (69609 vs 82218) before round 2 pinned full-width finals,
+    and the drain now serves any admit overflow exactly (dense-admit
+    close-ups overflow the n/8 admit buffer into the drain and stay
+    exact — test_any_hit_dense_admit_no_overflow_loss pins this).
     """
-    # ff=2: the fine buffer holds half the admitted rays; overflow
-    # rewinds into the next round (or the exhaustiveness drain), so
-    # results stay exact while the fine-words gather prices half the
-    # indices.  fine_frac=None keeps this default; drain=False callers
-    # get the final round forced full-width inside _trace_fast_impl.
-    ff = (2,) * rounds if fine_frac is None else fine_frac
+    # ff=1: no fine compaction — every admitted ray goes straight to the
+    # fine stage.  fine_frac=None keeps this default; drain=False
+    # callers get the final round forced full-width in _trace_fast_impl.
+    ff = (1,) * rounds if fine_frac is None else fine_frac
     t, _ = trace_grid_fast(origins, dirs, accel, t_min=t_min, t_max=t_max,
                            rounds=rounds, chunk=chunk, fine=fine,
                            admit=admit, k_hits=k_hits, fine_frac=ff,
