@@ -246,22 +246,57 @@ def main():
         return render_image(scene, vi, pi, width=width, height=height,
                             backend=backend)
 
-    t_render, img = time_fn(render, iters=runs, warmup=1)
-    mrays = width * height / t_render / 1e6
+    t_render_lat, img = time_fn(render, iters=runs, warmup=1)
     img_np = np.asarray(img)
-    log(f"render: {t_render*1e3:.1f} ms -> {mrays:.1f} Mrays/s "
-        f"(img mean {img_np.mean():.3f})")
 
-    # primary-only render (no shadow ray): BASELINE.json's north-star is
-    # stated in PRIMARY rays; the headline above stays the full
-    # recursion-2 pipeline (primary + shadow) like the reference's frame
     def render_primary():
         return render_image(scene, vi, pi, width=width, height=height,
                             backend=backend, shadows=False)
 
-    t_prim, _ = time_fn(render_primary, iters=runs, warmup=1)
+    t_prim_lat, _ = time_fn(render_primary, iters=runs, warmup=1)
+
+    # ---- pipelined frame throughput (the headline) ----------------------
+    # The per-call numbers above each pay one host<->device tunnel round
+    # trip (~28 ms measured with a no-op jit on the same inputs — round-3
+    # stage I) as pure sync latency.  Real rendering — like the
+    # reference's frame loop, which keeps multiple command buffers in
+    # flight (nvvkhl::AppBaseVk swapchain) — pipelines frames: dispatch
+    # frame i+1 while i executes, sync once.  Mrays/s is a throughput
+    # unit, so the headline measures K back-to-back frames with K
+    # DIFFERENT orbit cameras (identical inputs can be coalesced by the
+    # runtime, CLAUDE.md #9) and one final sync; TPU programs execute
+    # in order per device, so the sync covers every frame.
+    from voxelray_tpu.render.camera import orbit_path
+    k_frames = max(4, runs * 2)
+    r_orbit = float(np.linalg.norm(np.asarray([0.9, 0.55, -0.9]) * extent))
+    cams = orbit_path(k_frames, center=tuple(float(c) for c in center),
+                      radius=r_orbit,
+                      height=float(center[1] + 0.55 * extent))
+    mats = [cam.matrices(width, height)[2:] for cam in cams]
+
+    def pipelined(shadows):
+        def run_all():
+            return [render_image(scene, cvi, cpi, width=width,
+                                 height=height, backend=backend,
+                                 shadows=shadows)
+                    for cvi, cpi in mats]
+        jax.block_until_ready(run_all())            # warmup/compile
+        best = np.inf
+        for _ in range(2):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run_all())
+            best = min(best, (time.perf_counter() - t0) / k_frames)
+        return best
+
+    t_render = pipelined(True)
+    mrays = width * height / t_render / 1e6
+    log(f"render (pipelined x{k_frames}): {t_render*1e3:.1f} ms/frame -> "
+        f"{mrays:.1f} Mrays/s (latency {t_render_lat*1e3:.1f} ms; "
+        f"img mean {img_np.mean():.3f})")
+    t_prim = pipelined(False)
     prim_mrays = width * height / t_prim / 1e6
-    log(f"primary-only: {t_prim*1e3:.1f} ms -> {prim_mrays:.1f} Mrays/s")
+    log(f"primary-only (pipelined): {t_prim*1e3:.1f} ms/frame -> "
+        f"{prim_mrays:.1f} Mrays/s (latency {t_prim_lat*1e3:.1f} ms)")
 
     # ---- full-scale exhaustiveness gate (VERDICT r2 item 2) ------------
     # The fast backend's k_hits x rounds coverage bound plus the drain
@@ -342,6 +377,9 @@ def main():
         "shadowed_mrays_s": round(mrays, 2),
         "primary_mrays_s": round(prim_mrays, 2),
         "primary_render_ms": round(t_prim * 1e3, 2),
+        "render_latency_ms": round(t_render_lat * 1e3, 2),
+        "primary_latency_ms": round(t_prim_lat * 1e3, 2),
+        "pipelined_frames": k_frames,
         "aabb_extract_ms": round(t_extract * 1e3, 2),
         "grid_bytes": int(mem_bytes),
         "occupied_voxels": n_occ,
