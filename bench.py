@@ -233,7 +233,16 @@ def main():
 
     t_extract, aabbs = time_fn(extract, iters=max(1, runs // 2), warmup=1)
     mem_bytes = grid.memory_usage_bytes()
-    log(f"aabb extract: {t_extract*1e3:.1f} ms, grid {mem_bytes} bytes")
+
+    # per-call dispatch floor: a no-op jit on the grid words — every
+    # per-call number above/below carries this tunnel round-trip as
+    # pure sync latency (measured 27.7 ms on the full preset ray
+    # arrays, round-3 stage I); reported so single-dispatch metrics
+    # (voxelize_ms, aabb_extract_ms, *_latency_ms) are interpretable
+    noop = jax.jit(lambda w: w[0])
+    t_floor, _ = time_fn(lambda: noop(grid.words), iters=3, warmup=1)
+    log(f"aabb extract: {t_extract*1e3:.1f} ms, grid {mem_bytes} bytes "
+        f"(dispatch floor {t_floor*1e3:.1f} ms)")
 
     # ---- render (timed) -----------------------------------------------
     scene = build_scene(models=None, grid=grid)
@@ -381,6 +390,7 @@ def main():
         "primary_latency_ms": round(t_prim_lat * 1e3, 2),
         "pipelined_frames": k_frames,
         "aabb_extract_ms": round(t_extract * 1e3, 2),
+        "dispatch_floor_ms": round(t_floor * 1e3, 2),
         "grid_bytes": int(mem_bytes),
         "occupied_voxels": n_occ,
         "backend": backend,

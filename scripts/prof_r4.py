@@ -396,6 +396,34 @@ def main():
                  hits=int(np.isfinite(np.asarray(t)).sum()),
                  unresolved=int(unres), compile_s=round(cs, 1))
 
+    if "J" in stages:
+        # fine-kernel block size: smaller blocks exit the per-slot while
+        # loop as soon as THEIR lanes resolve (coherent tiles) at the
+        # cost of more per-block overhead; plus the pipelined-throughput
+        # measurement of the winning trace (dispatch floor amortized).
+        for name, kv in [("bq32", dict()),
+                         ("bq16", dict(fine_bq=16)),
+                         ("bq8", dict(fine_bq=8))]:
+            fn = jax.jit(lambda o, d, kv=kv: trace_grid_fast(
+                o, d, accel, return_stats=True, **kv))
+            dt, cs = time_call(lambda: fn(ot, dt_), runs)
+            t, lin, unres = fn(ot, dt_)
+            emit(stage="J", what=f"trace_{name}", ms=round(dt, 2),
+                 hits=int(np.isfinite(np.asarray(t)).sum()),
+                 unresolved=int(unres), compile_s=round(cs, 1))
+        # pipelined trace throughput (8 dispatches, one sync, varying
+        # t_max epsilon per call to defeat dispatch coalescing)
+        fn = jax.jit(lambda o, d, tm: trace_grid_fast(
+            o, d, accel, t_max=tm))
+        tms = [jnp.float32(10000.0 + i) for i in range(8)]
+        jax.block_until_ready([fn(ot, dt_, tm) for tm in tms])
+        best = np.inf
+        for _ in range(2):
+            t0 = time.perf_counter()
+            jax.block_until_ready([fn(ot, dt_, tm) for tm in tms])
+            best = min(best, (time.perf_counter() - t0) / len(tms))
+        emit(stage="J", what="trace_pipelined", ms=round(best * 1e3, 2))
+
     if "E" in stages:
         # render with the stage-D winner knobs (set via PROF_E_OPTS json)
         opts = json.loads(os.environ.get("PROF_E_OPTS", "{}"))

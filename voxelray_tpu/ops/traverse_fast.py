@@ -258,14 +258,15 @@ def _fine_resolve_block(o, d, brick_lin, t_max, accel, t_min):
     static_argnames=("accel_static", "rounds", "chunk", "fine", "k_hits",
                      "fine_frac", "admit_frac", "two_level",
                      "resident_frac", "drain", "drain_frac", "drain_k",
-                     "cont_rounds", "cont_k", "cont_frac", "fine_unroll"),
+                     "cont_rounds", "cont_k", "cont_frac", "fine_unroll",
+                     "fine_bq"),
 )
 def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
                      rounds, chunk, fine="walk", k_hits=4, fine_frac=4,
                      admit_frac=4, two_level=None, resident_frac=4,
                      drain=True, drain_frac=64, drain_k=8,
                      cont_rounds=0, cont_k=8, cont_frac=4,
-                     fine_unroll=13):
+                     fine_unroll=13, fine_bq=None):
     n = o.shape[0]
     cx, cy, cz, active = _init_state(
         o, d, accel, t_max,
@@ -466,7 +467,7 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
             fx, fy, fz, fdx, fdy, fdz,
             bricks_c, words, ftmn, ftmx,
             dims=accel_static_dims, bdims=bdims, origin_key=origin_key,
-            voxel_size=vs, bq=chunk, unroll=fine_unroll)
+            voxel_size=vs, bq=fine_bq or chunk, unroll=fine_unroll)
 
         if cont_rounds and fcap < m:
             # Continuation mini-rounds (round-3 stage-D finding: the
@@ -508,8 +509,8 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
                     r8c[:, 3], r8c[:, 4], r8c[:, 5],
                     bricks2, words2, r8c[:, 7], r8c[:, 6],
                     dims=accel_static_dims, bdims=bdims,
-                    origin_key=origin_key, voxel_size=vs, bq=chunk,
-                    unroll=fine_unroll)
+                    origin_key=origin_key, voxel_size=vs,
+                    bq=fine_bq or chunk, unroll=fine_unroll)
                 got2 = jnp.isfinite(t2) & mact
                 idx_f = jnp.where(got2, msel, fcap)
                 t_c = t_c.at[idx_f].set(t2, mode="drop")
@@ -661,8 +662,8 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
             t_c, lin_c = fine_walk_multi(
                 dox, doy, doz, ddx, ddy, ddz, bricks_c, words, dtmn,
                 dtmx, dims=accel_static_dims, bdims=bdims,
-                origin_key=origin_key, voxel_size=vs, bq=chunk,
-                unroll=fine_unroll)
+                origin_key=origin_key, voxel_size=vs,
+                bq=fine_bq or chunk, unroll=fine_unroll)
             got = jnp.isfinite(t_c) & (dact > 0)
             idx = jnp.where(got, sel, n)
             bt = bt.at[idx].set(t_c, mode="drop")
@@ -704,7 +705,8 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
                     admit=None, k_hits=5, two_level=None, fine_frac=5,
                     resident_frac=4, admit_frac=4, drain=True,
                     drain_frac=64, drain_k=8, cont_rounds=0, cont_k=8,
-                    cont_frac=4, fine_unroll=13, return_stats=False):
+                    cont_frac=4, fine_unroll=13, fine_bq=None,
+                    return_stats=False):
     """(t, cell_lin) nearest voxel hit; same contract as trace_grid_dda.
 
     drain=True (default) makes the trace EXHAUSTIVE: rays still active
@@ -774,7 +776,8 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
         k_hits=k_hits, two_level=two_level, fine_frac=fine_frac,
         resident_frac=resident_frac, admit_frac=admit_frac, drain=drain,
         drain_frac=drain_frac, drain_k=drain_k, cont_rounds=cont_rounds,
-        cont_k=cont_k, cont_frac=cont_frac, fine_unroll=fine_unroll)
+        cont_k=cont_k, cont_frac=cont_frac, fine_unroll=fine_unroll,
+        fine_bq=fine_bq)
     if return_stats:
         return (t.reshape(batch_shape), lin.reshape(batch_shape),
                 unresolved)
