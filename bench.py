@@ -217,19 +217,17 @@ def main():
     # build ms / extract ms / bytes, hello_vulkan.h:224-239) -------------
     grid = GridBool.from_occupancy(occ, bb_min, vs)
 
-    # word/byte capacities sized from stats like capacity itself:
-    # compaction work is 4*word_capacity + 8*byte_capacity scatter
-    # lanes, so unsized defaults degenerate toward the old per-cell cost
-    from voxelray_tpu.ops.aabbs import (count_nonzero_bytes,
-                                        count_nonzero_words)
+    # word_capacity sized from stats like capacity itself: the rank-fill
+    # extraction's scatter work is n/32 (phase 1) + 4*word_capacity
+    # (phase 2) lanes, so an unsized default degenerates toward the old
+    # per-cell cost.  byte_capacity stays None — it's a drop bound only,
+    # and passing it adds a cumsum.
+    from voxelray_tpu.ops.aabbs import count_nonzero_words
     nzw = count_nonzero_words(occ)
     wcap = -(-int(nzw * 1.1) // 8192) * 8192
-    nzb = count_nonzero_bytes(occ)
-    bcap = -(-int(nzb * 1.1) // 8192) * 8192
 
     def extract():
-        return grid.get_aabbs_fixed(capacity=1 << 20, word_capacity=wcap,
-                                    byte_capacity=bcap)
+        return grid.get_aabbs_fixed(capacity=1 << 20, word_capacity=wcap)
 
     t_extract, aabbs = time_fn(extract, iters=max(1, runs // 2), warmup=1)
     mem_bytes = grid.memory_usage_bytes()

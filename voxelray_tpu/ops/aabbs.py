@@ -59,20 +59,21 @@ def extract_aabbs_fixed(occ, origin, *, capacity, dims, voxel_size_static,
     (x fastest), identical to the reference's sweep.  Cells beyond capacity
     are dropped (callers size capacity from count_occupied or mesh stats).
 
-    Three-phase word/byte compaction (the getAabbs analog of the
+    Two-phase word compaction + rank-fill (the getAabbs analog of the
     reference's countr_zero word skip, voxelgridBool.cpp:18-52): scatter
     cost on this TPU is per update LANE (~132M/s in-jit), so the naive
     per-cell compaction paid one update per GRID CELL (350 ms at 512^3).
     Phase 1 packs cells into u32 words and compacts the nonzero words
-    (n/32 lanes); phase 2a splits those into bytes and compacts the
-    nonzero bytes (4*word_capacity lanes); phase 2b expands only those
-    bytes' 8 bit lanes and places set cells by prefix-popcount rank
-    (8*byte_capacity lanes).
+    (n/32 lanes); phase 2 scatters each nonzero byte at its global
+    prefix-popcount rank and cummax-forward-fills the output, selecting
+    each output row's bit with popcount arithmetic (4*word_capacity
+    lanes — no per-bit lanes).
 
-    word_capacity / byte_capacity bound the nonzero word/byte counts
-    like capacity bounds the cell count — size them from stats
-    (count_nonzero_words / count_nonzero_bytes with slack); undersizing
-    either tail-drops cleanly with count > valid rows as the overflow
+    word_capacity bounds the nonzero word count like capacity bounds the
+    cell count — size it from stats (count_nonzero_words with slack);
+    byte_capacity optionally bounds admitted nonzero bytes (kept for the
+    tail-drop contract; it no longer sizes a buffer).  Undersizing any
+    bound tail-drops cleanly with count > valid rows as the overflow
     signal.
     """
     flat = occ.reshape(-1).astype(bool)
@@ -149,70 +150,81 @@ def _extract_from_words(words, origin, *, capacity, dims,
         return (jnp.zeros((capacity, 6), jnp.float32)
                 .at[0, 0].set(cw.sum().astype(jnp.float32)), count)
 
-    # phase 2a: split compacted words into bytes and compact the NONZERO
-    # bytes (scatter cost on this TPU prices per update LANE, ~132M/s
-    # in-jit — round-3 stage-K profile — so the win comes from shrinking
-    # the lane count: 32*wcap bit lanes become 4*wcap byte lanes here
-    # plus 8*byte_capacity bit lanes below; surface occupancy keeps set
-    # bits clustered, so nonzero bytes ~ 1.2-1.5x nonzero words)
-    # byte_capacity bounds NONZERO BYTES like word_capacity bounds
-    # nonzero words; the safe default 4*wcap (a word has at most 4
-    # nonzero bytes) keeps phase 2b at the old 32*wcap lane count —
-    # callers with stats (count_nonzero_bytes) pass a tight bound for
-    # the ~2x lane cut, with the same clean tail-drop + count>valid
-    # overflow signal if undersized.
-    bcap = min(4 * wcap, byte_capacity if byte_capacity else 4 * wcap)
-    bcap = max(1, bcap)
+    # phase 2: RANK-FILL (round-3 rework).  The old byte-compact +
+    # per-bit scatter paid 4*wcap + 8*bcap update lanes at the ~132M
+    # lanes/s scatter wall.  Instead, scatter each nonzero byte's packed
+    # (byte_row << 8 | value) at its global prefix-popcount RANK START
+    # (4*wcap lanes, the only scatter), then forward-fill with cummax:
+    # byte_row strictly ascends with rank, so the running max at output
+    # slot r is exactly the byte that owns rank r.  The in-run offset
+    # k = r - run_start comes from a second cummax over run-boundary
+    # positions, and the k-th set bit of the 8-bit value is selected
+    # with three popcount-halving steps — no per-bit lanes at all.
+    #
+    # Packing fits uint32 for grids up to 2^27 cells (byte_row < 2^24):
+    # enforced host-side below (the int32 packing this replaced silently
+    # overflowed past 2^23 byte rows).
+    if nw > (1 << 24):
+        raise ValueError(
+            f"extract_aabbs: grid has {nw * 32} cells; the uint32 "
+            "rank-fill packing supports at most 2^27")
     byte_sh = jnp.arange(4, dtype=jnp.uint32) * 8
     bytes_ = ((cw[:, None] >> byte_sh) & 0xFF).astype(jnp.uint32)
-    bnz = (bytes_ != 0) & wlive[:, None]
-    bpos = jnp.cumsum(bnz.reshape(-1).astype(jnp.int32)) - 1
-    bkeep = bnz.reshape(-1) & (bpos < bcap)
-    bslot = jnp.where(bkeep, bpos, bcap)
-    # pack (byte value, byte index in word) into one update so phase 2a
-    # is ONE scatter: value | byte_row << 8 (byte_row = word*4 + byte
-    # index, < 2^23 even at 512^3, so the packed int32 never overflows)
-    byte_row = (cwi_c[:, None] * 4
-                + jnp.arange(4, dtype=jnp.int32)[None, :])
-    packed = (bytes_.astype(jnp.int32) | (byte_row << 8)).reshape(-1)
-    cb = jnp.zeros((bcap,), jnp.int32).at[bslot].set(
-        jnp.where(bkeep, packed, 0), mode="drop")
+    live = ((bytes_ != 0) & wlive[:, None]).reshape(-1)
+    # byte_capacity bounds the number of NONZERO bytes admitted, like
+    # word_capacity bounds nonzero words: bytes beyond it tail-drop
+    # cleanly (nonzero-byte order IS ascending rank order), count >
+    # valid rows stays the caller's overflow signal.  With the rank-fill
+    # there is no byte buffer to size, so None (the default) skips the
+    # bound and its cumsum entirely.
+    if byte_capacity is not None:
+        bnz_rank = jnp.cumsum(live.astype(jnp.int32)) - 1
+        live = live & (bnz_rank < min(4 * wcap, max(1, byte_capacity)))
+    bytes_flat = bytes_.reshape(-1)
+    pops = jnp.where(
+        live, jax.lax.population_count(bytes_flat).astype(jnp.int32), 0)
+    rank_end = jnp.cumsum(pops)
+    rank = rank_end - pops                       # global rank start/byte
+    kept = rank_end[-1]
+    byte_row = (cwi_c[:, None].astype(jnp.uint32) * 4
+                + jnp.arange(4, dtype=jnp.uint32)[None, :]).reshape(-1)
+    packed = (byte_row << 8) | bytes_flat
+    idx = jnp.where(live & (rank < capacity), rank, capacity)
+    fill = jnp.zeros((capacity,), jnp.uint32).at[idx].set(
+        jnp.where(live, packed, 0), mode="drop")
     if stop_after == "p2a":                       # profiling attribution
         return (jnp.zeros((capacity, 6), jnp.float32)
-                .at[0, 0].set(cb.sum().astype(jnp.float32)), count)
+                .at[0, 0].set(fill.sum().astype(jnp.float32)), count)
 
-    # phase 2b: expand the 8 bit lanes of each nonzero byte, place by
-    # prefix-popcount rank (8 * bcap updates).  Ranks come from the
-    # COMPACTED byte populations: compaction preserved ascending
-    # (word, byte) order — which is ascending global rank — and dropped
-    # elements are all-zero (contribute 0) or capacity-dropped tails
-    # (all later ranks), so cumsum over cb's popcounts IS the global
-    # prefix rank.  Empty tail slots of cb get a valid-looking rank but
-    # bits == 0 keeps them out of the scatter.
-    shifts8 = jnp.arange(8, dtype=jnp.int32)
-    bval = cb & 0xFF
-    bpops_c = jax.lax.population_count(bval.astype(jnp.uint32)) \
-        .astype(jnp.int32)
-    cbrank = jnp.cumsum(bpops_c) - bpops_c
-    bits = (bval[:, None] >> shifts8) & 1                    # (bcap, 8)
-    in_byte_rank = jnp.cumsum(bits, axis=1) - bits
-    rank = cbrank[:, None] + in_byte_rank
-    keep = (bits > 0) & (rank < capacity)
-    slot = jnp.where(keep, rank, capacity)
-    lin2 = ((cb >> 8) * 8)[:, None] + shifts8[None, :]
-    out_lin = jnp.zeros((capacity,), jnp.int32).at[slot.reshape(-1)].set(
-        jnp.where(keep, lin2, 0).reshape(-1), mode="drop")
+    fill = jax.lax.cummax(fill)
+    pos = jnp.arange(capacity, dtype=jnp.int32)
+    prev = jnp.roll(fill, 1)
+    change = (pos == 0) | (fill != prev)
+    runstart = jax.lax.cummax(jnp.where(change, pos, 0))
+    k = pos - runstart                            # in-byte bit rank
+    bval = (fill & 0xFF).astype(jnp.uint32)
+    # k-th set bit of bval by popcount halving (k < popcount(bval) for
+    # every valid row; garbage past `kept` is masked below)
+    c4 = jax.lax.population_count(bval & 0xF).astype(jnp.int32)
+    hi4 = k >= c4
+    base = jnp.where(hi4, 4, 0)
+    k = k - jnp.where(hi4, c4, 0)
+    nib = (bval >> base.astype(jnp.uint32)) & 0xF
+    c2 = jax.lax.population_count(nib & 0x3).astype(jnp.int32)
+    hi2 = k >= c2
+    base = base + jnp.where(hi2, 2, 0)
+    k = k - jnp.where(hi2, c2, 0)
+    pair = (bval >> base.astype(jnp.uint32)) & 0x3
+    bitpos = base + jnp.where(k >= (pair & 1).astype(jnp.int32), 1, 0)
+    out_lin = ((fill >> 8).astype(jnp.int32) * 8 + bitpos)
     aabbs = aabbs_from_linear(out_lin, dims, origin, voxel_size_static)
-    # Cells from words dropped by an undersized word_capacity are exactly
-    # the TAIL ranks (words compact in linear order, ranks ascend with
-    # word index), so clamping the valid mask to the PLACED cell count
-    # gives the same clean tail-drop semantics as a capacity overflow.
-    # `count` is still the full popcount: count > number of valid rows is
-    # the caller's overflow signal for either bound (ADVICE r2 item 1).
-    # (byte-capacity drops are tail ranks too: bnz iterates in (word,
-    # byte) order, which is ascending rank)
-    kept = cbrank[-1] + bpops_c[-1]
-    valid = jnp.arange(capacity) < jnp.minimum(count, kept)
+    # Cells from words/bytes dropped by an undersized bound are exactly
+    # the TAIL ranks (compaction order is linear order), so clamping the
+    # valid mask to the PLACED cell count gives the same clean tail-drop
+    # semantics as a capacity overflow.  `count` is still the full
+    # popcount: count > number of valid rows is the caller's overflow
+    # signal for any bound (ADVICE r2 item 1).
+    valid = pos < jnp.minimum(count, kept)
     return jnp.where(valid[:, None], aabbs, 0.0), count
 
 
