@@ -457,6 +457,29 @@ def main():
             dt, cs = time_call(fn, runs)
             emit(stage="C", stop_after=str(phase), ms=round(dt, 2),
                  compile_s=round(cs, 1))
+        # rank-fill default: no byte_capacity bound (skips its cumsum)
+        fn = lambda: extract_aabbs_words(
+            grid.words, grid.origin, capacity=1 << 20, dims=grid.dims,
+            voxel_size_static=grid.voxel_size, word_capacity=wcap)
+        dt, cs = time_call(fn, runs)
+        emit(stage="C", stop_after="None_nobcap", ms=round(dt, 2),
+             compile_s=round(cs, 1))
+        # pipelined extraction throughput (dispatch floor amortized):
+        # vary capacity-invariant input (word rotation) per dispatch
+        import jax
+        base = grid.words
+        variants = [base.at[0].set(base[0] | jnp.uint32(0)) if i == 0
+                    else jnp.roll(base, i) for i in range(6)]
+        fn_j = jax.jit(lambda w: extract_aabbs_words(
+            w, grid.origin, capacity=1 << 20, dims=grid.dims,
+            voxel_size_static=grid.voxel_size, word_capacity=wcap))
+        jax.block_until_ready([fn_j(w) for w in variants])
+        best = np.inf
+        for _ in range(2):
+            t0 = time.perf_counter()
+            jax.block_until_ready([fn_j(w) for w in variants])
+            best = min(best, (time.perf_counter() - t0) / len(variants))
+        emit(stage="C", stop_after="pipelined", ms=round(best * 1e3, 2))
 
 
 if __name__ == "__main__":

@@ -123,11 +123,11 @@ class GridBool:
                                  self.voxel_size)
 
     def get_aabbs_fixed(self, capacity, word_capacity=None,
-                        byte_capacity=None):
+                        byte_capacity=None, group_capacity=None):
         """Jit-friendly padded extraction: ((capacity, 6), count).
 
-        word_capacity / byte_capacity: optional nonzero word/byte bounds
-        (size from ops.aabbs.count_nonzero_words / count_nonzero_bytes
+        word_capacity / byte_capacity / group_capacity: optional nonzero
+        word/byte/8-word-group bounds (size from ops.aabbs.count_nonzero_*
         with slack) — they shrink the compaction's scatter lanes; None
         is always safe.  Feeds the packed words directly (the grid's
         native storage) — no dense-volume unpack/repack round trip."""
@@ -136,6 +136,7 @@ class GridBool:
             self.words, self.origin, capacity=capacity,
             dims=self.dims, voxel_size_static=self.voxel_size,
             word_capacity=word_capacity, byte_capacity=byte_capacity,
+            group_capacity=group_capacity,
         )
 
     def memory_usage_bytes(self):
