@@ -129,3 +129,45 @@ def test_bench_adjudicate_hit_diffs():
                                np.array([np.inf], np.float32),
                                np.array([-1], np.int32), t_d, lin_d)
     assert not out["adjudication_ok"]
+
+    # sub-ulp tangent flip: fast skips a sliver cell the oracle counts
+    # and reports the next occupied cell at a t within the 2e-6 envelope
+    # — accepted as fast_within_envelope (measured class, 2026-08-18:
+    # corner-grazing rays with t1-t0 < 1 ulp flip per FMA contraction).
+    # Construction: the ray clips cell A's y=1 corner at z=0 (interval
+    # width ~5e-7) then properly enters cell C above it ~2.4e-7 rel
+    # later; fast reports C with C's own oracle-slab t.
+    occ2 = np.zeros((4, 4, 4), bool)
+    occ2[0, 0, 1] = True        # A lin 1: sliver (oracle nearest)
+    occ2[0, 1, 1] = True        # C lin 5: the cell fast lands in
+    y0 = np.float32(0.5) - np.float32(2.0) ** -23
+    o2 = np.array([[1.5, y0, -2.0]], np.float32)
+    d2 = (np.array([[0.0, 0.25, 1.0]], np.float32)
+          / np.float32(np.sqrt(0.25 ** 2 + 1.0)))
+    # oracle slab t's in the adjudicator's own f32 math
+    inv = np.float32(1.0) / d2[0]
+    tC0 = np.float32((np.float32(1.0) - o2[0, 1]) * inv[1])  # y=1 entry
+    tA0 = np.float32((np.float32(0.0) - o2[0, 2]) * inv[2])  # z=0 entry
+    assert 0 < (tC0 - tA0) / tA0 < 2e-6          # inside the envelope
+    out = adjudicate_hit_diffs(o2, d2, occ2, bb_min, 1.0, np.array([0]),
+                               np.array([tC0], np.float32),
+                               np.array([5], np.int32),
+                               np.array([tA0], np.float32),
+                               np.array([1], np.int32))
+    assert out["adjudication_ok"], out
+    assert out["fast_within_envelope"] == 1 and \
+        out["fast_matches_oracle"] == 0
+
+    # ...but a flip to a cell whose t is OUTSIDE the envelope of the
+    # oracle's nearest must reject (real geometry skipped)
+    occ3 = np.zeros((4, 4, 4), bool)
+    occ3[0, 0, 1] = True        # lin 1 at t=2*norm
+    occ3[1, 0, 1] = True        # lin 17 one voxel later (t=3*norm)
+    o3 = np.array([[1.5, 0.5, -2.0]], np.float32)
+    d3 = np.array([[0.0, 0.0, 1.0]], np.float32)
+    out = adjudicate_hit_diffs(o3, d3, occ3, bb_min, 1.0, np.array([0]),
+                               np.array([3.0], np.float32),
+                               np.array([17], np.int32),
+                               np.array([2.0], np.float32),
+                               np.array([1], np.int32))
+    assert not out["adjudication_ok"]
