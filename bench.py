@@ -239,17 +239,22 @@ def main():
     # build ms / extract ms / bytes, hello_vulkan.h:224-239) -------------
     grid = GridBool.from_occupancy(occ, bb_min, vs)
 
-    # word_capacity sized from stats like capacity itself: the rank-fill
-    # extraction's scatter work is n/32 (phase 1) + 4*word_capacity
-    # (phase 2) lanes, so an unsized default degenerates toward the old
-    # per-cell cost.  byte_capacity stays None — it's a drop bound only,
-    # and passing it adds a cumsum.
-    from voxelray_tpu.ops.aabbs import count_nonzero_words
+    # word/group capacities sized from stats like capacity itself: the
+    # rank-fill extraction's scatter work is n/64 (grouped phase 1) +
+    # 4*word_capacity (phase 2 fill) lanes, so unsized defaults
+    # degenerate toward the old per-cell cost.  byte_capacity stays None
+    # — it's a drop bound only.  Measured (stage C, 2026-08-18): 42.5 ms
+    # per call at 848k cells incl. the ~24 ms dispatch floor (was 90.5
+    # before the rank-fill + grouping rework).
+    from voxelray_tpu.ops.aabbs import (count_nonzero_groups,
+                                        count_nonzero_words)
     nzw = count_nonzero_words(occ)
     wcap = -(-int(nzw * 1.1) // 8192) * 8192
+    gcap = -(-int(count_nonzero_groups(occ) * 1.1) // 8192) * 8192
 
     def extract():
-        return grid.get_aabbs_fixed(capacity=1 << 20, word_capacity=wcap)
+        return grid.get_aabbs_fixed(capacity=1 << 20, word_capacity=wcap,
+                                    group_capacity=gcap)
 
     t_extract, aabbs = time_fn(extract, iters=max(1, runs // 2), warmup=1)
     mem_bytes = grid.memory_usage_bytes()

@@ -424,6 +424,37 @@ def main():
             best = min(best, (time.perf_counter() - t0) / len(tms))
         emit(stage="J", what="trace_pipelined", ms=round(best * 1e3, 2))
 
+    if "J2" in stages:
+        # fine_static: straight-line max_steps bodies, NO while_loop
+        # scalar conds (hypothesis: the 10-20us/cond dominates the fine
+        # kernel — body compute models to ~0.15us; flat unroll/mux-tree
+        # sweeps support it).  hits must stay exactly 210157.
+        for name, kv in [("static_bq32", dict(fine_static=True)),
+                         ("static_bq64", dict(fine_static=True,
+                                              fine_bq=64)),
+                         ("static_bq96", dict(fine_static=True,
+                                              fine_bq=96)),
+                         ("while_base", dict())]:
+            fn = jax.jit(lambda o, d, kv=kv: trace_grid_fast(
+                o, d, accel, return_stats=True, **kv))
+            dt, cs = time_call(lambda: fn(ot, dt_), runs)
+            t, lin, unres = fn(ot, dt_)
+            emit(stage="J2", what=f"trace_{name}", ms=round(dt, 2),
+                 hits=int(np.isfinite(np.asarray(t)).sum()),
+                 unresolved=int(unres), compile_s=round(cs, 1))
+        # pipelined with the static fine
+        fn = jax.jit(lambda o, d, tm: trace_grid_fast(
+            o, d, accel, t_max=tm, fine_static=True))
+        tms = [jnp.float32(10000.0 + i) for i in range(8)]
+        jax.block_until_ready([fn(ot, dt_, tm) for tm in tms])
+        best = np.inf
+        for _ in range(2):
+            t0 = time.perf_counter()
+            jax.block_until_ready([fn(ot, dt_, tm) for tm in tms])
+            best = min(best, (time.perf_counter() - t0) / len(tms))
+        emit(stage="J2", what="trace_static_pipelined",
+             ms=round(best * 1e3, 2))
+
     if "E" in stages:
         # render with the stage-D winner knobs (set via PROF_E_OPTS json)
         opts = json.loads(os.environ.get("PROF_E_OPTS", "{}"))
@@ -464,6 +495,19 @@ def main():
         dt, cs = time_call(fn, runs)
         emit(stage="C", stop_after="None_nobcap", ms=round(dt, 2),
              compile_s=round(cs, 1))
+        # 8-word group pre-compaction for phase 1
+        from voxelray_tpu.ops.aabbs import count_nonzero_groups
+        nzg = count_nonzero_groups(occ)
+        gcap = -(-int(nzg * 1.1) // 8192) * 8192
+        emit(stage="C", nzg=int(nzg), gcap=gcap)
+        for ph in ("p1", None):
+            fn = lambda p=ph: extract_aabbs_words(
+                grid.words, grid.origin, capacity=1 << 20, dims=grid.dims,
+                voxel_size_static=grid.voxel_size, word_capacity=wcap,
+                group_capacity=gcap, stop_after=p)
+            dt, cs = time_call(fn, runs)
+            emit(stage="C", stop_after=f"grouped_{ph}", ms=round(dt, 2),
+                 compile_s=round(cs, 1))
         # pipelined extraction throughput (dispatch floor amortized):
         # vary capacity-invariant input (word rotation) per dispatch
         import jax

@@ -38,7 +38,7 @@ _INF = np.float32(np.inf)
 
 
 def _make_kernel(dims, bdims, origin, voxel_size, bq, k_slots, any_hit,
-                 unroll=13):
+                 unroll=13, static_steps=False):
     nx, ny, nz = dims
     bx, by, _bz = bdims
     ogx, ogy, ogz = (np.float32(origin[0]), np.float32(origin[1]),
@@ -112,16 +112,23 @@ def _make_kernel(dims, bdims, origin, voxel_size, bq, k_slots, any_hit,
                 act = act_i != 0
                 lin_local = lx + BRICK * (ly + BRICK * lz)
                 wsel = lin_local >> 5
-                word = jnp.zeros(lin_local.shape, jnp.uint32)
-                for k in range(16):
-                    word = jnp.where(wsel == k, words[k], word)
+                # binary mux tree: 15 selects + 4 bit tests instead of
+                # the 16-way equality mux (16 cmp + 16 sel); identical
+                # result, ~25% fewer VPU ops in the hot body
+                lvl = words
+                for bit in (1, 2, 4, 8):
+                    t_ = (wsel & bit) != 0
+                    lvl = [jnp.where(t_, lvl[i + 1], lvl[i])
+                           for i in range(0, len(lvl), 2)]
+                word = lvl[0]
                 occ = ((word >> (lin_local & 31).astype(jnp.uint32)) & 1) \
                     > 0
 
                 gx = bcx * BRICK + lx
                 gy = bcy * BRICK + ly
                 gz = bcz * BRICK + lz
-                in_dims = (gx < nx) & (gy < ny) & (gz < nz)
+                # no in-dims test: build_accel zero-pads boundary bricks,
+                # so out-of-grid cells always read occ == 0
 
                 # reference cell AABB slab test (raytrace.rint:46-56)
                 ccx = ogx + (gx.astype(jnp.float32) + 0.5) * vs
@@ -142,7 +149,7 @@ def _make_kernel(dims, bdims, origin, voxel_size, bq, k_slots, any_hit,
                 accept = (t1 > jnp.maximum(t0, 0.0)) & (t0 > 0.0) \
                     & (t0 >= t_lo) & (t0 <= t_hi)
 
-                hit = act & occ & accept & in_dims
+                hit = act & occ & accept
                 best_t = jnp.where(hit, t0, best_t)
                 best_lin = jnp.where(hit, gx + nx * (gy + ny * gz),
                                      best_lin)
@@ -183,7 +190,16 @@ def _make_kernel(dims, bdims, origin, voxel_size, bq, k_slots, any_hit,
                 return jnp.logical_and(state[6] < max_steps,
                                        jnp.any(state[5] != 0))
 
-            if jax.default_backend() == "tpu":
+            if static_steps:
+                # fully static: no while_loop, no scalar conds — every
+                # block runs all max_steps bodies for this slot.  The
+                # body costs ~0.15us/vector-op-set while a scalar cond
+                # costs 10-20us (CLAUDE.md #7), so on TPU straight-line
+                # wins whenever blocks average < ~100 wasted bodies.
+                state = init
+                for _ in range(max_steps):
+                    state = body(state)
+            elif jax.default_backend() == "tpu":
                 # unroll=13: two chunks cover the 25-step worst case; a
                 # lower unroll wastes fewer bodies when whole blocks
                 # resolve in the first steps (sweepable via the
@@ -213,11 +229,11 @@ def _make_kernel(dims, bdims, origin, voxel_size, bq, k_slots, any_hit,
 @functools.partial(
     jax.jit,
     static_argnames=("dims", "bdims", "origin_key", "voxel_size", "bq",
-                     "any_hit", "unroll"),
+                     "any_hit", "unroll", "static_steps"),
 )
 def fine_walk_multi(ox, oy, oz, dx, dy, dz, bricks, words, t_min, t_max, *,
                     dims, bdims, origin_key, voxel_size, bq=64,
-                    any_hit=False, unroll=13):
+                    any_hit=False, unroll=13, static_steps=False):
     """Resolve each ray against its K candidate bricks in ray order.
 
     bricks: (K, N) int32 brick ids (-1 = no brick); words: (K, 16, N)
@@ -249,7 +265,9 @@ def fine_walk_multi(ox, oy, oz, dx, dy, dz, bricks, words, t_min, t_max, *,
     w = w.reshape(k, 16, n_blocks * bq, LANES)
 
     kernel = _make_kernel(dims, bdims, origin_key, voxel_size, bq, k,
-                          any_hit, unroll=unroll)
+                          any_hit, unroll=unroll,
+                          static_steps=static_steps and
+                          jax.default_backend() == "tpu")
     grid_spec = pl.GridSpec(
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec((bq, LANES), lambda i: (i, 0),
