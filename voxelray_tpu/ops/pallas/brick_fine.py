@@ -38,7 +38,7 @@ _INF = np.float32(np.inf)
 
 
 def _make_kernel(dims, bdims, origin, voxel_size, bq, k_slots, any_hit,
-                 unroll=13, static_steps=False):
+                 unroll=13, static_steps=False, ilp=1):
     nx, ny, nz = dims
     bx, by, _bz = bdims
     ogx, ogy, ogz = (np.float32(origin[0]), np.float32(origin[1]),
@@ -75,12 +75,14 @@ def _make_kernel(dims, bdims, origin, voxel_size, bq, k_slots, any_hit,
             t1 = (bmin + bwf - o) * inv
             return jnp.where(d == 0.0, -_INF, jnp.minimum(t0, t1))
 
-        for s in range(k_slots):
+        def make_slot(s, gate):
+            """Context + initial sub-state for slot s.  gate: lanes still
+            unresolved before this slot's GROUP; slot priority inside a
+            group is restored at merge time (first finite slot in ray
+            order wins), so gating per GROUP instead of per slot changes
+            which lanes compute, never the result."""
             bid = brick_ref[s]
-            # a lane resolved by an earlier slot skips the rest: the
-            # coarse walk records slots in ray order, so the first
-            # accepted cell over slots is the global nearest
-            valid = (bid >= 0) & ~jnp.isfinite(best_t)
+            valid = (bid >= 0) & gate
             b = jnp.maximum(bid, 0)
             bcx = b % bx
             bcy = (b // bx) % by
@@ -106,120 +108,148 @@ def _make_kernel(dims, bdims, origin, voxel_size, bq, k_slots, any_hit,
                           0, BRICK - 1)
 
             words = [words_ref[s, k] for k in range(16)]
+            ctx = (bcx, bcy, bcz, bminx, bminy, bminz, words)
+            sub = (lx, ly, lz,
+                   jnp.full((bq, LANES), _INF, jnp.float32),
+                   jnp.full((bq, LANES), -1, jnp.int32),
+                   valid.astype(jnp.int32))
+            return ctx, sub
 
-            def body(state):
-                lx, ly, lz, best_t, best_lin, act_i, step = state
-                act = act_i != 0
-                lin_local = lx + BRICK * (ly + BRICK * lz)
-                wsel = lin_local >> 5
-                # binary mux tree: 15 selects + 4 bit tests instead of
-                # the 16-way equality mux (16 cmp + 16 sel); identical
-                # result, ~25% fewer VPU ops in the hot body
-                lvl = words
-                for bit in (1, 2, 4, 8):
-                    t_ = (wsel & bit) != 0
-                    lvl = [jnp.where(t_, lvl[i + 1], lvl[i])
-                           for i in range(0, len(lvl), 2)]
-                word = lvl[0]
-                occ = ((word >> (lin_local & 31).astype(jnp.uint32)) & 1) \
-                    > 0
+        def slot_body(ctx, sub):
+            """One DDA step of one slot's walk (the exact reference
+            expressions; interleaving slots in a group reorders only
+            instruction scheduling, never values)."""
+            bcx, bcy, bcz, bminx, bminy, bminz, words = ctx
+            lx, ly, lz, best_t, best_lin, act_i = sub
+            act = act_i != 0
+            lin_local = lx + BRICK * (ly + BRICK * lz)
+            wsel = lin_local >> 5
+            # binary mux tree: 15 selects + 4 bit tests instead of the
+            # 16-way equality mux; identical result, fewer VPU ops
+            lvl = words
+            for bit in (1, 2, 4, 8):
+                t_ = (wsel & bit) != 0
+                lvl = [jnp.where(t_, lvl[i + 1], lvl[i])
+                       for i in range(0, len(lvl), 2)]
+            word = lvl[0]
+            occ = ((word >> (lin_local & 31).astype(jnp.uint32)) & 1) > 0
 
-                gx = bcx * BRICK + lx
-                gy = bcy * BRICK + ly
-                gz = bcz * BRICK + lz
-                # no in-dims test: build_accel zero-pads boundary bricks,
-                # so out-of-grid cells always read occ == 0
+            gx = bcx * BRICK + lx
+            gy = bcy * BRICK + ly
+            gz = bcz * BRICK + lz
+            # no in-dims test: build_accel zero-pads boundary bricks, so
+            # out-of-grid cells always read occ == 0
 
-                # reference cell AABB slab test (raytrace.rint:46-56)
-                ccx = ogx + (gx.astype(jnp.float32) + 0.5) * vs
-                ccy = ogy + (gy.astype(jnp.float32) + 0.5) * vs
-                ccz = ogz + (gz.astype(jnp.float32) + 0.5) * vs
-                tb = inv_x * ((ccx - half) - ox)
-                tt = inv_x * ((ccx + half) - ox)
-                t0 = jnp.minimum(tb, tt)
-                t1 = jnp.maximum(tb, tt)
-                tb = inv_y * ((ccy - half) - oy)
-                tt = inv_y * ((ccy + half) - oy)
-                t0 = jnp.maximum(t0, jnp.minimum(tb, tt))
-                t1 = jnp.minimum(t1, jnp.maximum(tb, tt))
-                tb = inv_z * ((ccz - half) - oz)
-                tt = inv_z * ((ccz + half) - oz)
-                t0 = jnp.maximum(t0, jnp.minimum(tb, tt))
-                t1 = jnp.minimum(t1, jnp.maximum(tb, tt))
-                accept = (t1 > jnp.maximum(t0, 0.0)) & (t0 > 0.0) \
-                    & (t0 >= t_lo) & (t0 <= t_hi)
+            # reference cell AABB slab test (raytrace.rint:46-56)
+            ccx = ogx + (gx.astype(jnp.float32) + 0.5) * vs
+            ccy = ogy + (gy.astype(jnp.float32) + 0.5) * vs
+            ccz = ogz + (gz.astype(jnp.float32) + 0.5) * vs
+            tb = inv_x * ((ccx - half) - ox)
+            tt = inv_x * ((ccx + half) - ox)
+            t0 = jnp.minimum(tb, tt)
+            t1 = jnp.maximum(tb, tt)
+            tb = inv_y * ((ccy - half) - oy)
+            tt = inv_y * ((ccy + half) - oy)
+            t0 = jnp.maximum(t0, jnp.minimum(tb, tt))
+            t1 = jnp.minimum(t1, jnp.maximum(tb, tt))
+            tb = inv_z * ((ccz - half) - oz)
+            tt = inv_z * ((ccz + half) - oz)
+            t0 = jnp.maximum(t0, jnp.minimum(tb, tt))
+            t1 = jnp.minimum(t1, jnp.maximum(tb, tt))
+            accept = (t1 > jnp.maximum(t0, 0.0)) & (t0 > 0.0) \
+                & (t0 >= t_lo) & (t0 <= t_hi)
 
-                hit = act & occ & accept
-                best_t = jnp.where(hit, t0, best_t)
-                best_lin = jnp.where(hit, gx + nx * (gy + ny * gz),
-                                     best_lin)
-                act = act & ~hit
+            hit = act & occ & accept
+            best_t = jnp.where(hit, t0, best_t)
+            best_lin = jnp.where(hit, gx + nx * (gy + ny * gz), best_lin)
+            act = act & ~hit
 
-                # step to the next cell in the brick
-                tnx = jnp.where(
-                    dx == 0.0, _INF,
-                    (bminx + (lx + fx).astype(jnp.float32) * vs - ox)
-                    * inv_x)
-                tny = jnp.where(
-                    dy == 0.0, _INF,
-                    (bminy + (ly + fy).astype(jnp.float32) * vs - oy)
-                    * inv_y)
-                tnz = jnp.where(
-                    dz == 0.0, _INF,
-                    (bminz + (lz + fz).astype(jnp.float32) * vs - oz)
-                    * inv_z)
-                tmin = jnp.minimum(tnx, jnp.minimum(tny, tnz))
-                stx = act & (tnx == tmin)
-                sty = act & (~stx) & (tny == tmin)
-                stz = act & ~(stx | sty)
-                lx = lx + jnp.where(stx, sx, 0)
-                ly = ly + jnp.where(sty, sy, 0)
-                lz = lz + jnp.where(stz, sz, 0)
-                inb = ((lx >= 0) & (lx < BRICK) & (ly >= 0) & (ly < BRICK)
-                       & (lz >= 0) & (lz < BRICK))
-                act = act & inb & (tmin <= t_hi)
-                return (lx, ly, lz, best_t, best_lin,
-                        act.astype(jnp.int32), step + 1)
+            # step to the next cell in the brick
+            tnx = jnp.where(
+                dx == 0.0, _INF,
+                (bminx + (lx + fx).astype(jnp.float32) * vs - ox)
+                * inv_x)
+            tny = jnp.where(
+                dy == 0.0, _INF,
+                (bminy + (ly + fy).astype(jnp.float32) * vs - oy)
+                * inv_y)
+            tnz = jnp.where(
+                dz == 0.0, _INF,
+                (bminz + (lz + fz).astype(jnp.float32) * vs - oz)
+                * inv_z)
+            tmin = jnp.minimum(tnx, jnp.minimum(tny, tnz))
+            stx = act & (tnx == tmin)
+            sty = act & (~stx) & (tny == tmin)
+            stz = act & ~(stx | sty)
+            lx = lx + jnp.where(stx, sx, 0)
+            ly = ly + jnp.where(sty, sy, 0)
+            lz = lz + jnp.where(stz, sz, 0)
+            inb = ((lx >= 0) & (lx < BRICK) & (ly >= 0) & (ly < BRICK)
+                   & (lz >= 0) & (lz < BRICK))
+            act = act & inb & (tmin <= t_hi)
+            return (lx, ly, lz, best_t, best_lin, act.astype(jnp.int32))
 
-            init = (lx, ly, lz, best_t, best_lin,
-                    valid.astype(jnp.int32), jnp.int32(0))
+        # slots run in GROUPS of `ilp`: the walks inside a group are
+        # independent dependency chains, so interleaving them fills the
+        # VPU latency bubbles of one serial DDA chain and shares one
+        # while-loop (half/quarter the scalar conds).  ilp=1 is the
+        # round-2 per-slot structure.
+        groups = [list(range(i, min(i + ilp, k_slots)))
+                  for i in range(0, k_slots, ilp)]
+        for grp in groups:
+            gate = ~jnp.isfinite(best_t)
+            pairs = [make_slot(s, gate) for s in grp]
+            ctxs = [p[0] for p in pairs]
+            subs0 = tuple(p[1] for p in pairs)
+            g = len(grp)
+
+            def step_all(subs):
+                return tuple(slot_body(c, sb)
+                             for c, sb in zip(ctxs, subs))
+
+            def any_act(subs):
+                m = subs[0][5]
+                for sb in subs[1:]:
+                    m = m | sb[5]
+                return jnp.any(m != 0)
 
             def cond(state):
                 # one scalar check per unrolled chunk; fully-dead blocks
                 # (sky tiles, already-resolved rays) exit immediately
-                return jnp.logical_and(state[6] < max_steps,
-                                       jnp.any(state[5] != 0))
+                return jnp.logical_and(state[0] < max_steps,
+                                       any_act(state[1:]))
 
+            init = (jnp.int32(0),) + subs0
             if static_steps:
-                # fully static: no while_loop, no scalar conds — every
-                # block runs all max_steps bodies for this slot.  The
-                # body costs ~0.15us/vector-op-set while a scalar cond
-                # costs 10-20us (CLAUDE.md #7), so on TPU straight-line
-                # wins whenever blocks average < ~100 wasted bodies.
-                state = init
+                # fully static: no while_loop, no scalar conds
+                subs = subs0
                 for _ in range(max_steps):
-                    state = body(state)
+                    subs = step_all(subs)
             elif jax.default_backend() == "tpu":
-                # unroll=13: two chunks cover the 25-step worst case; a
-                # lower unroll wastes fewer bodies when whole blocks
-                # resolve in the first steps (sweepable via the
-                # fine_walk_multi knob)
                 def chunk(state):
+                    step, subs = state[0], state[1:]
                     for _ in range(unroll):
-                        state = body(state)
-                    return state
-
+                        subs = step_all(subs)
+                        step = step + 1
+                    return (step,) + subs
                 state = jax.lax.while_loop(cond, chunk, init)
+                subs = state[1:]
             else:
-                # interpret mode: plain early-exit while keeps CPU tests
-                # fast
-                state = jax.lax.while_loop(cond, body, init)
-            _, _, _, best_t, best_lin, _, _ = state
-            if any_hit and s + 1 < k_slots:
-                # any-hit callers only need "did something accept":
-                # remaining slots run only for still-unresolved lanes,
-                # which the `valid` mask above already handles
-                pass
+                # interpret mode: plain early-exit while keeps CPU
+                # tests fast
+                def one(state):
+                    step, subs = state[0], state[1:]
+                    return (step + 1,) + step_all(subs)
+                state = jax.lax.while_loop(cond, one, init)
+                subs = state[1:]
+
+            # merge in slot order: first finite slot (ray order) wins —
+            # identical to the sequential per-slot update
+            for sb in subs:
+                bt, bl = sb[3], sb[4]
+                take = jnp.isfinite(bt) & ~jnp.isfinite(best_t)
+                best_t = jnp.where(take, bt, best_t)
+                best_lin = jnp.where(take, bl, best_lin)
         t_ref[:] = best_t
         lin_ref[:] = best_lin
 
@@ -229,11 +259,11 @@ def _make_kernel(dims, bdims, origin, voxel_size, bq, k_slots, any_hit,
 @functools.partial(
     jax.jit,
     static_argnames=("dims", "bdims", "origin_key", "voxel_size", "bq",
-                     "any_hit", "unroll", "static_steps"),
+                     "any_hit", "unroll", "static_steps", "ilp"),
 )
 def fine_walk_multi(ox, oy, oz, dx, dy, dz, bricks, words, t_min, t_max, *,
                     dims, bdims, origin_key, voxel_size, bq=64,
-                    any_hit=False, unroll=13, static_steps=False):
+                    any_hit=False, unroll=13, static_steps=False, ilp=1):
     """Resolve each ray against its K candidate bricks in ray order.
 
     bricks: (K, N) int32 brick ids (-1 = no brick); words: (K, 16, N)
@@ -267,7 +297,7 @@ def fine_walk_multi(ox, oy, oz, dx, dy, dz, bricks, words, t_min, t_max, *,
     kernel = _make_kernel(dims, bdims, origin_key, voxel_size, bq, k,
                           any_hit, unroll=unroll,
                           static_steps=static_steps and
-                          jax.default_backend() == "tpu")
+                          jax.default_backend() == "tpu", ilp=ilp)
     grid_spec = pl.GridSpec(
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec((bq, LANES), lambda i: (i, 0),

@@ -259,14 +259,15 @@ def _fine_resolve_block(o, d, brick_lin, t_max, accel, t_min):
                      "fine_frac", "admit_frac", "two_level",
                      "resident_frac", "drain", "drain_frac", "drain_k",
                      "cont_rounds", "cont_k", "cont_frac", "fine_unroll",
-                     "fine_bq", "fine_static"),
+                     "fine_bq", "fine_static", "fine_ilp"),
 )
 def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
                      rounds, chunk, fine="walk", k_hits=4, fine_frac=4,
                      admit_frac=4, two_level=None, resident_frac=4,
                      drain=True, drain_frac=64, drain_k=8,
                      cont_rounds=0, cont_k=8, cont_frac=4,
-                     fine_unroll=13, fine_bq=None, fine_static=False):
+                     fine_unroll=13, fine_bq=None, fine_static=False,
+                     fine_ilp=1):
     n = o.shape[0]
     cx, cy, cz, active = _init_state(
         o, d, accel, t_max,
@@ -468,7 +469,7 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
             bricks_c, words, ftmn, ftmx,
             dims=accel_static_dims, bdims=bdims, origin_key=origin_key,
             voxel_size=vs, bq=fine_bq or chunk, unroll=fine_unroll,
-            static_steps=fine_static)
+            static_steps=fine_static, ilp=fine_ilp)
 
         if cont_rounds and fcap < m:
             # Continuation mini-rounds (round-3 stage-D finding: the
@@ -512,7 +513,7 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
                     dims=accel_static_dims, bdims=bdims,
                     origin_key=origin_key, voxel_size=vs,
                     bq=fine_bq or chunk, unroll=fine_unroll,
-                    static_steps=fine_static)
+                    static_steps=fine_static, ilp=fine_ilp)
                 got2 = jnp.isfinite(t2) & mact
                 idx_f = jnp.where(got2, msel, fcap)
                 t_c = t_c.at[idx_f].set(t2, mode="drop")
@@ -708,7 +709,7 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
                     resident_frac=4, admit_frac=4, drain=True,
                     drain_frac=64, drain_k=8, cont_rounds=0, cont_k=8,
                     cont_frac=4, fine_unroll=13, fine_bq=None,
-                    fine_static=False, return_stats=False):
+                    fine_static=False, fine_ilp=1, return_stats=False):
     """(t, cell_lin) nearest voxel hit; same contract as trace_grid_dda.
 
     drain=True (default) makes the trace EXHAUSTIVE: rays still active
@@ -779,7 +780,7 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
         resident_frac=resident_frac, admit_frac=admit_frac, drain=drain,
         drain_frac=drain_frac, drain_k=drain_k, cont_rounds=cont_rounds,
         cont_k=cont_k, cont_frac=cont_frac, fine_unroll=fine_unroll,
-        fine_bq=fine_bq, fine_static=fine_static)
+        fine_bq=fine_bq, fine_static=fine_static, fine_ilp=fine_ilp)
     if return_stats:
         return (t.reshape(batch_shape), lin.reshape(batch_shape),
                 unresolved)
