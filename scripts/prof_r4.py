@@ -455,6 +455,37 @@ def main():
         emit(stage="J2", what="trace_static_pipelined",
              ms=round(best * 1e3, 2))
 
+    if "J3" in stages:
+        # slot-interleaved fine walks: ilp independent DDA chains per
+        # while loop fill VPU latency bubbles (body measured ~2.5us =
+        # latency-bound serial chain) and cut scalar conds by ilp.
+        # Register pressure grows with ilp x bq -> sweep both.
+        for name, kv in [("ilp2", dict(fine_ilp=2)),
+                         ("ilp5", dict(fine_ilp=5)),
+                         ("ilp2_bq16", dict(fine_ilp=2, fine_bq=16)),
+                         ("ilp5_bq16", dict(fine_ilp=5, fine_bq=16)),
+                         ("ilp5_bq8", dict(fine_ilp=5, fine_bq=8))]:
+            fn = jax.jit(lambda o, d, kv=kv: trace_grid_fast(
+                o, d, accel, return_stats=True, **kv))
+            dt, cs = time_call(lambda: fn(ot, dt_), runs)
+            t, lin, unres = fn(ot, dt_)
+            emit(stage="J3", what=f"trace_{name}", ms=round(dt, 2),
+                 hits=int(np.isfinite(np.asarray(t)).sum()),
+                 unresolved=int(unres), compile_s=round(cs, 1))
+        # pipelined with the best (read PROF_J3_OPTS json, default ilp5)
+        opts = json.loads(os.environ.get("PROF_J3_OPTS", '{"fine_ilp":5}'))
+        fn = jax.jit(lambda o, d, tm: trace_grid_fast(
+            o, d, accel, t_max=tm, **opts))
+        tms = [jnp.float32(10000.0 + i) for i in range(8)]
+        jax.block_until_ready([fn(ot, dt_, tm) for tm in tms])
+        best = np.inf
+        for _ in range(2):
+            t0 = time.perf_counter()
+            jax.block_until_ready([fn(ot, dt_, tm) for tm in tms])
+            best = min(best, (time.perf_counter() - t0) / len(tms))
+        emit(stage="J3", what="trace_ilp_pipelined", opts=opts,
+             ms=round(best * 1e3, 2))
+
     if "E" in stages:
         # render with the stage-D winner knobs (set via PROF_E_OPTS json)
         opts = json.loads(os.environ.get("PROF_E_OPTS", "{}"))

@@ -190,6 +190,9 @@ def test_two_level_walk_random_rays(setup):
     dict(k_hits=2),
     dict(cont_rounds=0),         # no continuation mini-rounds
     dict(cont_rounds=3, cont_k=4, cont_frac=2),
+    dict(fine_ilp=2),            # slot-interleaved fine walks
+    dict(fine_ilp=5),
+    dict(fine_ilp=2, fine_bq=16),
     dict(k_hits=2, cont_rounds=1, cont_k=16),
 ])
 def test_structural_knobs_same_result(setup, kv):

@@ -67,9 +67,14 @@ BASELINE_CONFIGS = {
     "bunny128": _cfg("bunny", 2.8 / 128, "aabbstruct"),
     # 3. vec encoding 256^3 + octree traversal, depth+normal output
     "vec256": _cfg("bunny", 2.8 / 256, "vec", backend="octree"),
-    # 4. 1M-triangle mesh -> 512^3, 1080p, shadows, fly-through
+    # 4. 1M-triangle mesh -> 512^3, 1080p, shadows, fly-through.
+    # backend="fast": the production traversal (same path the bench
+    # headline runs and proves against dda/oracle); 8 full-preset
+    # shadowed frames through the all-XLA dda while-loop was the one
+    # workload that reproducibly crashed the axon TPU worker (2/2 runs,
+    # 2026-08-18) — dda-vs-fast parity is enforced separately in bench.
     "knot512": _cfg("knot1m", 4.3 / 512, "bool", width=1920, height=1080,
-                    frames=8),
+                    frames=8, backend="fast"),
     # 5. deforming mesh, per-frame re-voxelization batched over 8 chips
     "deform8": _cfg("bunny", 2.8 / 128, "bool", frames=8),
 }
