@@ -81,7 +81,7 @@ def _make_kernel(dims, bdims, origin, voxel_size, bq, k_slots, any_hit,
             group is restored at merge time (first finite slot in ray
             order wins), so gating per GROUP instead of per slot changes
             which lanes compute, never the result."""
-            bid = brick_ref[s]
+            bid = brick_ref[0, s]
             valid = (bid >= 0) & gate
             b = jnp.maximum(bid, 0)
             bcx = b % bx
@@ -107,7 +107,7 @@ def _make_kernel(dims, bdims, origin, voxel_size, bq, k_slots, any_hit,
             lz = jnp.clip(jnp.floor((pz - bminz) / vs).astype(jnp.int32),
                           0, BRICK - 1)
 
-            words = [words_ref[s, k] for k in range(16)]
+            words = [words_ref[0, s, k] for k in range(16)]
             ctx = (bcx, bcy, bcz, bminx, bminy, bminz, words)
             sub = (lx, ly, lz,
                    jnp.full((bq, LANES), _INF, jnp.float32),
@@ -289,10 +289,16 @@ def fine_walk_multi(ox, oy, oz, dx, dy, dz, bricks, words, t_min, t_max, *,
         return x.reshape(n_blocks * bq, LANES)
 
     t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    # BLOCK-MAJOR layouts: with the round-2 (k, 16, blocks*bq, LANES)
+    # layout each grid step's words block was k*16 = 80 strided DMA
+    # slabs (plus k for bricks) — descriptor setup dominated the kernel
+    # (round-3 finding: op count, conds, ilp, bq all measured flat).
+    # One XLA transpose up front (~130 MB moved once) makes each block
+    # a single contiguous DMA.
     bk = jnp.pad(bricks, ((0, 0), (0, pad)), constant_values=-1)
-    bk = bk.reshape(k, n_blocks * bq, LANES)
+    bk = bk.reshape(k, n_blocks, bq, LANES).transpose(1, 0, 2, 3)
     w = jnp.pad(words, ((0, 0), (0, 0), (0, pad)))
-    w = w.reshape(k, 16, n_blocks * bq, LANES)
+    w = w.reshape(k, 16, n_blocks, bq, LANES).transpose(2, 0, 1, 3, 4)
 
     kernel = _make_kernel(dims, bdims, origin_key, voxel_size, bq, k,
                           any_hit, unroll=unroll,
@@ -302,11 +308,12 @@ def fine_walk_multi(ox, oy, oz, dx, dy, dz, bricks, words, t_min, t_max, *,
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec((bq, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)] * 6
-        + [pl.BlockSpec((k, bq, LANES), lambda i: (0, i, 0),
+        + [pl.BlockSpec((1, k, bq, LANES), lambda i: (i, 0, 0, 0),
                         memory_space=pltpu.VMEM)]
         + [pl.BlockSpec((bq, LANES), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)] * 2
-        + [pl.BlockSpec((k, 16, bq, LANES), lambda i: (0, 0, i, 0),
+        + [pl.BlockSpec((1, k, 16, bq, LANES),
+                        lambda i: (i, 0, 0, 0, 0),
                         memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec((bq, LANES), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)] * 2,
