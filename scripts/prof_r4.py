@@ -486,6 +486,85 @@ def main():
         emit(stage="J3", what="trace_ilp_pipelined", opts=opts,
              ms=round(best * 1e3, 2))
 
+    if "J4" in stages:
+        # the fine-words take in isolation: is it the hidden 25-30 ms?
+        # (stage-H's 0.6 ms take marginal vs stage-K's 25.3 ms for the
+        # same-shape gather disagree; the noop-kernel micro shows the
+        # pallas body is ~1 ms, so the take is the prime suspect)
+        m = ot.shape[0] // 5
+        rng = np.random.default_rng(0)
+        nb = accel.fine.shape[1]
+        idx = jnp.asarray(rng.integers(0, nb, (5, m), dtype=np.int32))
+
+        def take3(ix):
+            w = accel.fine[:, ix]                     # (16, 5, m)
+            # dependency chain x3 to amortize dispatch
+            for _ in range(2):
+                ix = (ix + w[0].astype(jnp.int32)) % nb
+                w = accel.fine[:, ix]
+            return w.sum(dtype=jnp.uint32)
+        fn = jax.jit(take3)
+        dt, cs = time_call(lambda: fn(idx), runs)
+        emit(stage="J4", what="take_16xk5_chained3",
+             ms_per_take=round(dt / 3, 2), compile_s=round(cs, 1))
+
+        # row-layout alternative: fine stored (NB, 16), row gather
+        fine_rows = accel.fine.transpose(1, 0)        # (NB, 16)
+
+        def take3r(ix):
+            w = fine_rows[ix]                         # (5, m, 16)
+            for _ in range(2):
+                ix = (ix + w[..., 0].astype(jnp.int32)) % nb
+                w = fine_rows[ix]
+            return w.sum(dtype=jnp.uint32)
+        fn = jax.jit(take3r)
+        dt, cs = time_call(lambda: fn(idx), runs)
+        emit(stage="J4", what="take_rows_16_chained3",
+             ms_per_take=round(dt / 3, 2), compile_s=round(cs, 1))
+
+        # single-slot take (the lazy-gather round structure's unit)
+        def take1(ix):
+            w = accel.fine[:, ix[0]]
+            for _ in range(2):
+                i2 = (ix[0] + w[0].astype(jnp.int32)) % nb
+                w = accel.fine[:, i2]
+            return w.sum(dtype=jnp.uint32)
+        fn = jax.jit(take1)
+        dt, cs = time_call(lambda: fn(idx), runs)
+        emit(stage="J4", what="take_16xk1_chained3",
+             ms_per_take=round(dt / 3, 2), compile_s=round(cs, 1))
+
+    if "J5" in stages:
+        # group divergence: within 8 consecutive tiled rays, how often
+        # does a lane's slot-s candidate brick differ from the group's
+        # first live lane?  (feasibility of a per-group words take)
+        from voxelray_tpu.ops.traverse_fast import _init_state
+        from voxelray_tpu.ops.pallas.grid_walk import coarse_walk
+        n = ot.shape[0]
+        cx, cy, cz, act = _init_state(ot, dt_, accel,
+                                      jnp.full((n,), 1e4, jnp.float32))
+        bw = accel.voxel_size * 8.0
+        hits, *_ = jax.jit(lambda: coarse_walk(
+            ot[:, 0], ot[:, 1], ot[:, 2], dt_[:, 0], dt_[:, 1],
+            dt_[:, 2], cx, cy, cz, act.astype(jnp.int32),
+            jnp.full((n,), 1e4, jnp.float32), accel.coarse, accel.l2,
+            bdims=accel.bdims, origin_key=accel.origin_key,
+            brick_world=bw, bq=32, k_hits=5))()
+        hb = np.asarray(hits)                     # (5, n)
+        g = hb.reshape(5, n // 8, 8)
+        live = g >= 0
+        # representative: first live lane per (slot, group)
+        first = np.argmax(live, axis=2)
+        rep = np.take_along_axis(g, first[:, :, None], axis=2)
+        same = (g == rep) | ~live
+        div = (~same).sum(axis=(1, 2))
+        tot = live.sum(axis=(1, 2))
+        emit(stage="J5", what="group_divergence",
+             per_slot_live=[int(x) for x in tot],
+             per_slot_divergent=[int(x) for x in div],
+             per_slot_pct=[round(100 * d / max(t, 1), 1)
+                           for d, t in zip(div, tot)])
+
     if "E" in stages:
         # render with the stage-D winner knobs (set via PROF_E_OPTS json)
         opts = json.loads(os.environ.get("PROF_E_OPTS", "{}"))
