@@ -565,6 +565,31 @@ def main():
              per_slot_pct=[round(100 * d / max(t, 1), 1)
                            for d, t in zip(div, tot)])
 
+    if "J6" in stages:
+        # TRUE attribution: pipelined (8 dispatches, one sync) deltas
+        # between knob ablations — per-call marginals carry dispatch
+        # noise (the J4/noop finding), pipelined deltas don't.
+        def pipelined(kv):
+            fn = jax.jit(lambda o, d, tm, kv=kv: trace_grid_fast(
+                o, d, accel, t_max=tm, **kv))
+            tms = [jnp.float32(10000.0 + i) for i in range(8)]
+            jax.block_until_ready([fn(ot, dt_, tm) for tm in tms])
+            best = np.inf
+            for _ in range(2):
+                t0 = time.perf_counter()
+                jax.block_until_ready([fn(ot, dt_, tm) for tm in tms])
+                best = min(best, (time.perf_counter() - t0) / len(tms))
+            return best * 1e3
+        for name, kv in [("defaults", {}),
+                         ("drain_off", dict(drain=False)),
+                         ("ff1", dict(fine_frac=1)),
+                         ("k3", dict(k_hits=3)),
+                         ("k8", dict(k_hits=8)),
+                         ("2level_off", dict(two_level=False)),
+                         ("rounds2", dict(rounds=2))]:
+            emit(stage="J6", what=f"pipe_{name}",
+                 ms=round(pipelined(kv), 2))
+
     if "E" in stages:
         # render with the stage-D winner knobs (set via PROF_E_OPTS json)
         opts = json.loads(os.environ.get("PROF_E_OPTS", "{}"))

@@ -193,10 +193,11 @@ def _mt_cell(ta, o, d, slot_rows, t_lo, span_hi, t_max):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ta_static", "rounds", "cand_frac", "chunk"),
+    static_argnames=("ta_static", "rounds", "cand_frac", "chunk",
+                     "inner_rounds", "inner_k"),
 )
 def _trace_tri_impl(o, d, ta, t_min, t_max, *, ta_static, rounds,
-                    cand_frac, chunk):
+                    cand_frac, chunk, inner_rounds=1, inner_k=2):
     dims, vs_s, l_width = ta_static
     vs = jnp.float32(vs_s)
     n = o.shape[0]
@@ -238,13 +239,35 @@ def _trace_tri_impl(o, d, ta, t_min, t_max, *, ta_static, rounds,
     def cap_up(c):
         return max(per_block, -(-c // per_block) * per_block)
 
-    def march(state):
+    def march(state, walk_frac=1):
+        """One marching lap.  walk_frac > 1 compacts the MARCH DOMAIN
+        before the inner grid trace (round-3 stage-T finding: the inner
+        trace_grid_fast is the lap's dominant cost and was running
+        full-width every lap while later laps have few active rays);
+        active rays beyond the compacted budget retry next lap with
+        t_cur unchanged — the same starvation semantics as cand_frac,
+        covered by the same lap bound."""
         best_t, best_id, best_u, best_v, t_cur, active = state
-        tmn = jnp.where(active, t_cur, 0.0)
-        tmx = jnp.where(active, t_max_b, -1.0)
-        t_cell, lin = trace_grid_fast(
-            o, d, ta.brick, t_min=tmn, t_max=tmx, rounds=2,
-            chunk=chunk, k_hits=8)
+        if walk_frac > 1:
+            wcap = cap_up(-(-n // walk_frac))
+            wsel, wlive, wsel_c, _ = compact_mask(active, wcap, n)
+            ow, dw = o[wsel_c], d[wsel_c]
+            tmn = jnp.where(wlive, t_cur[wsel_c], 0.0)
+            tmx = jnp.where(wlive, t_max_b[wsel_c], -1.0)
+            t_cw, lin_w = trace_grid_fast(
+                ow, dw, ta.brick, t_min=tmn, t_max=tmx,
+                rounds=inner_rounds, chunk=chunk, k_hits=inner_k)
+            widx = jnp.where(wlive, wsel, n)
+            t_cell = jnp.full((n,), jnp.inf, jnp.float32).at[widx].set(
+                t_cw, mode="drop")
+            lin = jnp.full((n,), -1, jnp.int32).at[widx].set(
+                lin_w, mode="drop")
+        else:
+            tmn = jnp.where(active, t_cur, 0.0)
+            tmx = jnp.where(active, t_max_b, -1.0)
+            t_cell, lin = trace_grid_fast(
+                o, d, ta.brick, t_min=tmn, t_max=tmx,
+                rounds=inner_rounds, chunk=chunk, k_hits=inner_k)
         has = jnp.isfinite(t_cell) & active
         # compact candidate rays before the (m, L) list gather
         cap = cap_up(-(-n // cand_frac)) if cand_frac > 1 else n
@@ -297,8 +320,9 @@ def _trace_tri_impl(o, d, ta, t_min, t_max, *, ta_static, rounds,
         return (best_t, best_id, best_u, best_v, t_cur, active)
 
     state = (best_t, best_id, best_u, best_v, t_cur, active)
-    for _ in range(rounds):
-        state = march(state)
+    walk_fracs = [1, 4] + [8] * max(0, rounds - 2)
+    for r in range(rounds):
+        state = march(state, walk_frac=walk_fracs[r])
 
     # drain-to-empty tail: rays still marching after the static rounds
     # (tangent rays crossing MANY nonempty cells) loop until they resolve
@@ -313,13 +337,15 @@ def _trace_tri_impl(o, d, ta, t_min, t_max, *, ta_static, rounds,
     # min(active, cap) visits, so cand_frac * (nx+ny+nz+3) + 1 is a
     # true upper bound; the cond still exits the moment the queue
     # drains, so the common case runs zero iterations either way.
-    lap_cap = max(1, cand_frac) * (nx + ny + nz + 3) + 1
+    # the drain lap serves at most min(n/walk_frac, n/cand_frac) rays:
+    # both compactions starve, so the bound takes the larger frac
+    lap_cap = max(1, cand_frac, 8) * (nx + ny + nz + 3) + 1
 
     def cond(st):
         return jnp.logical_and(jnp.any(st[0][5]), st[1] < lap_cap)
 
     def body(st):
-        return (march(st[0]), st[1] + 1)
+        return (march(st[0], walk_frac=8), st[1] + 1)
 
     state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
     best_t, best_id, best_u, best_v, _, active = state
@@ -329,6 +355,7 @@ def _trace_tri_impl(o, d, ta, t_min, t_max, *, ta_static, rounds,
 
 def trace_triangles_grid(origins, dirs, ta: TriAccel, t_min=TMIN,
                          t_max=TMAX, rounds=6, cand_frac=4, chunk=32,
+                         inner_rounds=1, inner_k=2,
                          return_stats=False):
     """Nearest triangle hit via the tri-grid march.
 
@@ -347,7 +374,8 @@ def trace_triangles_grid(origins, dirs, ta: TriAccel, t_min=TMIN,
     t, pid, u, v, unresolved = _trace_tri_impl(
         o, d, ta, t_min_b, t_max_b,
         ta_static=(ta.dims, ta.voxel_size, ta.l_width),
-        rounds=rounds, cand_frac=cand_frac, chunk=chunk)
+        rounds=rounds, cand_frac=cand_frac, chunk=chunk,
+        inner_rounds=inner_rounds, inner_k=inner_k)
     out = (t.reshape(batch_shape), pid.reshape(batch_shape),
            u.reshape(batch_shape), v.reshape(batch_shape))
     if return_stats:
