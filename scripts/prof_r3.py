@@ -42,6 +42,52 @@ def time_call(fn, runs=3):
     return (time.perf_counter() - t0) / runs * 1e3, compile_s
 
 
+def _stage_t3(stages):
+    import jax
+    import jax.numpy as jnp
+
+    from voxelray_tpu.io import meshes
+    from voxelray_tpu.ops.intersect import make_camera_rays
+    from voxelray_tpu.render.camera import Camera
+    runs = int(os.environ.get("PROF_RUNS", "3"))
+    if "T3" in stages:
+        # tri-march lap anatomy: what actually costs 2.8 s?  rounds
+        # (static laps) vs drain laps vs list width (res) vs inner knobs.
+        from voxelray_tpu.ops.tri_accel import (build_tri_accel,
+                                                trace_triangles_grid)
+        tv, tf = meshes.icosphere(6)
+        tri = tv[tf]
+        tw, th = 1280, 720
+        tcam = Camera(eye=(2.2, 1.4, -2.2), center=(0.0, 0.0, 0.0))
+        _, _, tvi, tpi = tcam.matrices(tw, th)
+        to, td = make_camera_rays(tw, th, tvi, tpi)
+        to = to.reshape(-1, 3)
+        td = td.reshape(-1, 3)
+        for res in (64, 96, 128):
+            ta = build_tri_accel(jnp.asarray(tri[:, 0]),
+                                 jnp.asarray(tri[:, 1]),
+                                 jnp.asarray(tri[:, 2]), res=res)
+            jax.block_until_ready(ta.cell_tris)
+            emit(stage="T3", res=res, l_width=ta.l_width,
+                 rows=int(ta.cell_tris.shape[0]))
+            for name, kw in [("r6", {}),
+                             ("r12", dict(rounds=12)),
+                             ("r2", dict(rounds=2)),
+                             ("r6_cf1", dict(cand_frac=1))]:
+                if res != 96 and name not in ("r6",):
+                    continue
+                fn = jax.jit(lambda kw=kw, ta=ta: trace_triangles_grid(
+                    to, td, ta, return_stats="full", **kw))
+                dt, cs = time_call(fn, runs)
+                t, _, _, _, unres, laps = fn()
+                emit(stage="T3", what=f"res{res}_{name}",
+                     ms=round(dt, 2),
+                     hits=int(np.isfinite(np.asarray(t)).sum()),
+                     unresolved=int(unres), drain_laps=int(laps),
+                     compile_s=round(cs, 1))
+
+
+
 def main():
     stages = os.environ.get("PROF_STAGES", "A,B,C,D,E,F,G,H,I,J").split(",")
     runs = int(os.environ.get("PROF_RUNS", "3"))
@@ -60,6 +106,11 @@ def main():
     from voxelray_tpu.render.camera import Camera
 
     log(f"backend={jax.default_backend()}")
+    if not (set(stages) - {"T3"}):
+        # T3 builds its own tri-accel scenes; skip the ~10-min
+        # full-preset voxelize
+        _stage_t3(stages)
+        return
     v, f = meshes.torus_knot(2, 3, 1024, 512)
     grid_res, W, H = 512, 1920, 1080
     bb_min, bb_max = mesh_bbox(v)
@@ -573,6 +624,8 @@ def main():
         emit(stage="T", what="voxel_trace_same_rays", ms=round(dt2, 2),
              ratio_tri_over_vox=round(dt / max(dt2, 1e-9), 2),
              compile_s=round(cs2, 1))
+
+    _stage_t3(stages)
 
     if "V" in stages:
         # voxelize with the effective-window bucketing (dead +2-slack

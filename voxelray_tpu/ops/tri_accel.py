@@ -347,10 +347,10 @@ def _trace_tri_impl(o, d, ta, t_min, t_max, *, ta_static, rounds,
     def body(st):
         return (march(st[0], walk_frac=8), st[1] + 1)
 
-    state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+    state, laps = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
     best_t, best_id, best_u, best_v, _, active = state
-    return best_t, best_id, best_u, best_v, jnp.sum(active.astype(
-        jnp.int32))
+    return (best_t, best_id, best_u, best_v,
+            jnp.sum(active.astype(jnp.int32)), laps)
 
 
 def trace_triangles_grid(origins, dirs, ta: TriAccel, t_min=TMIN,
@@ -371,13 +371,15 @@ def trace_triangles_grid(origins, dirs, ta: TriAccel, t_min=TMIN,
                                batch_shape).reshape(-1)
     t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32),
                                batch_shape).reshape(-1)
-    t, pid, u, v, unresolved = _trace_tri_impl(
+    t, pid, u, v, unresolved, laps = _trace_tri_impl(
         o, d, ta, t_min_b, t_max_b,
         ta_static=(ta.dims, ta.voxel_size, ta.l_width),
         rounds=rounds, cand_frac=cand_frac, chunk=chunk,
         inner_rounds=inner_rounds, inner_k=inner_k)
     out = (t.reshape(batch_shape), pid.reshape(batch_shape),
            u.reshape(batch_shape), v.reshape(batch_shape))
+    if return_stats == "full":
+        return out + (unresolved, laps)
     if return_stats:
         return out + (unresolved,)
     return out
