@@ -53,6 +53,11 @@ def _stage_t3(stages):
     if "T3" in stages:
         # tri-march lap anatomy: what actually costs 2.8 s?  rounds
         # (static laps) vs drain laps vs list width (res) vs inner knobs.
+        # Hypothesis under test: a COARSER tri grid (fewer, wider cell
+        # lists) collapses the march to 1-2 laps — per-cell marching at
+        # res 96 pays an inner grid trace per lap and silhouette rays
+        # cross dozens of nonempty cells.
+        import numpy as np
         from voxelray_tpu.ops.tri_accel import (build_tri_accel,
                                                 trace_triangles_grid)
         tv, tf = meshes.icosphere(6)
@@ -63,19 +68,20 @@ def _stage_t3(stages):
         to, td = make_camera_rays(tw, th, tvi, tpi)
         to = to.reshape(-1, 3)
         td = td.reshape(-1, 3)
-        for res in (64, 96, 128):
+        plan = [(16, ("r3",)), (24, ("r3", "r6")), (32, ("r3", "r6")),
+                (48, ("r3",)), (96, ("r3", "r6"))]
+        knob = {"r3": dict(rounds=3), "r6": {}, "r2": dict(rounds=2),
+                "r12": dict(rounds=12), "r6_cf1": dict(cand_frac=1)}
+        for res, names in plan:
             ta = build_tri_accel(jnp.asarray(tri[:, 0]),
                                  jnp.asarray(tri[:, 1]),
                                  jnp.asarray(tri[:, 2]), res=res)
             jax.block_until_ready(ta.cell_tris)
             emit(stage="T3", res=res, l_width=ta.l_width,
-                 rows=int(ta.cell_tris.shape[0]))
-            for name, kw in [("r6", {}),
-                             ("r12", dict(rounds=12)),
-                             ("r2", dict(rounds=2)),
-                             ("r6_cf1", dict(cand_frac=1))]:
-                if res != 96 and name not in ("r6",):
-                    continue
+                 rows=int(ta.cell_tris.shape[0]),
+                 overflow=ta.overflow_cells)
+            for name in names:
+                kw = knob[name]
                 fn = jax.jit(lambda kw=kw, ta=ta: trace_triangles_grid(
                     to, td, ta, return_stats="full", **kw))
                 dt, cs = time_call(fn, runs)
@@ -85,6 +91,18 @@ def _stage_t3(stages):
                      hits=int(np.isfinite(np.asarray(t)).sum()),
                      unresolved=int(unres), drain_laps=int(laps),
                      compile_s=round(cs, 1))
+        # voxel-path yardstick for the <10x bar: same mesh voxelized at
+        # 192^3, same rays through trace_grid_fast
+        from voxelray_tpu.models.grids import GridBool
+        from voxelray_tpu.ops.traverse_fast import (build_accel,
+                                                    trace_grid_fast)
+        tgrid = GridBool.from_mesh(tv, tf, 2.0 / 192)
+        yacc = build_accel(jnp.asarray(tgrid.occupancy()), tgrid.origin,
+                           tgrid.voxel_size)
+        dt2, cs2 = time_call(
+            lambda: trace_grid_fast(to, td, yacc)[0], runs)
+        emit(stage="T3", what="voxel_trace_same_rays", ms=round(dt2, 2),
+             compile_s=round(cs2, 1))
 
 
 
