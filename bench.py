@@ -332,66 +332,82 @@ def main():
     log(f"primary-only (pipelined): {t_prim*1e3:.1f} ms/frame -> "
         f"{prim_mrays:.1f} Mrays/s (latency {t_prim_lat*1e3:.1f} ms)")
 
-    # ---- full-scale exhaustiveness gate (VERDICT r2 item 2) ------------
-    # The fast backend's k_hits x rounds coverage bound plus the drain
-    # loop must find EXACTLY the hits the exhaustive dda finds at the
-    # HEADLINE resolution/grid — the 320x180 parity gate below never
-    # stressed the bound.  unresolved == 0 is the trace's own proof that
-    # no ray was dropped by buffer sizing.
-    if os.environ.get("BENCH_SKIP_PARITY"):
-        exhaustive = {}
-    else:
-        from voxelray_tpu.ops.intersect import make_camera_rays
-        from voxelray_tpu.ops.traverse import trace_grid_dda
-        from voxelray_tpu.ops.traverse_fast import trace_grid_fast
-        o_fs, d_fs = make_camera_rays(width, height, jnp.asarray(vi),
-                                      jnp.asarray(pi))
-        t_f, lin_f, unresolved = trace_grid_fast(
-            o_fs, d_fs, scene.accel, return_stats=True)
-        hf = np.isfinite(np.asarray(t_f))
-        t_d, lin_d = trace_grid_dda(
-            o_fs, d_fs, scene.occ_flat, scene.grid_origin,
-            dims=scene.grid_dims,
-            voxel_size_static=scene.grid_voxel_size)
-        hd = np.isfinite(np.asarray(t_d))
-        lin_f_np = np.asarray(lin_f).reshape(-1)
-        lin_d_np = np.asarray(lin_d).reshape(-1)
-        t_f_np = np.asarray(t_f).reshape(-1)
-        t_d_np = np.asarray(t_d).reshape(-1)
-        hf_l, hd_l = hf.reshape(-1), hd.reshape(-1)
-        exhaustive = {
-            "fast_hits": int(hf.sum()),
-            "dda_hits": int(hd.sum()),
-            "unresolved": int(unresolved),
-            "hits_equal": bool(np.array_equal(hf, hd)),
-            "cells_equal": bool(np.array_equal(
-                lin_f_np[hf_l & hd_l], lin_d_np[hf_l & hd_l])),
-        }
-        exhaustive["exhaustive_ok"] = bool(
-            exhaustive["hits_equal"] and exhaustive["cells_equal"]
-            and exhaustive["unresolved"] == 0)
-        if not exhaustive["exhaustive_ok"] \
-                and exhaustive["unresolved"] == 0:
-            # a small set of corner-grazing rays can legitimately differ
-            # between the two backends' FMA contractions; adjudicate each
-            # against the host f32 oracle (PARITY.md "grazing-cell hits")
-            diff = (hf_l != hd_l) | (hf_l & hd_l & (lin_f_np != lin_d_np))
-            idx = np.flatnonzero(diff)
-            if len(idx) <= 2048:  # more than this is a bug, not FMA
-                adj = adjudicate_hit_diffs(
-                    np.asarray(o_fs).reshape(-1, 3),
-                    np.asarray(d_fs).reshape(-1, 3),
-                    np.asarray(occ).astype(bool), bb_min, vs, idx,
-                    t_f_np, lin_f_np, t_d_np, lin_d_np)
-                exhaustive.update(adj)
-                exhaustive["exhaustive_ok"] = adj["adjudication_ok"]
-        log(f"full-scale exhaustiveness: {exhaustive}")
-
-    # ---- on-chip parity gate --------------------------------------------
+    # ---- on-chip parity gate (before the full-scale gate so a failure
+    # there cannot lose this result) --------------------------------------
     if os.environ.get("BENCH_SKIP_PARITY"):
         parity_ok, parity = None, {}
     else:
         parity_ok, parity = parity_gate()
+
+    # ---- full-scale exhaustiveness gate (VERDICT r2 item 2) ------------
+    # The fast backend's k_hits x rounds coverage bound plus the drain
+    # loop must find EXACTLY the hits the exhaustive dda finds at the
+    # HEADLINE resolution/grid — the 320x180 parity gate never stressed
+    # the bound.  unresolved == 0 is the trace's own proof that no ray
+    # was dropped by buffer sizing.
+    #
+    # The dda reference runs through trace_grid_dda_chunked: the round-3
+    # driver bench died HERE — one monolithic full-scale dda dispatch
+    # (2.07M rays x ~1417-step while bound) crashed the TPU worker and
+    # shipped rc=1/parsed=null (VERDICT r3 weak #1).  Chunked dispatches
+    # are each bounded to 128k rays x 256 steps.  The whole gate is also
+    # fenced with try/except so bench ALWAYS prints its JSON line.
+    if os.environ.get("BENCH_SKIP_PARITY"):
+        exhaustive = {}
+    else:
+        try:
+            from voxelray_tpu.ops.intersect import make_camera_rays
+            from voxelray_tpu.ops.traverse import trace_grid_dda_chunked
+            from voxelray_tpu.ops.traverse_fast import trace_grid_fast
+            o_fs, d_fs = make_camera_rays(width, height, jnp.asarray(vi),
+                                          jnp.asarray(pi))
+            t_f, lin_f, unresolved = trace_grid_fast(
+                o_fs, d_fs, scene.accel, return_stats=True)
+            hf = np.isfinite(np.asarray(t_f))
+            t_d, lin_d = trace_grid_dda_chunked(
+                o_fs, d_fs, scene.occ_flat, scene.grid_origin,
+                dims=scene.grid_dims,
+                voxel_size_static=scene.grid_voxel_size)
+            hd = np.isfinite(t_d)
+            lin_f_np = np.asarray(lin_f).reshape(-1)
+            lin_d_np = lin_d.reshape(-1)
+            t_f_np = np.asarray(t_f).reshape(-1)
+            t_d_np = t_d.reshape(-1)
+            hf_l, hd_l = hf.reshape(-1), hd.reshape(-1)
+            exhaustive = {
+                "fast_hits": int(hf.sum()),
+                "dda_hits": int(hd.sum()),
+                "unresolved": int(unresolved),
+                "hits_equal": bool(np.array_equal(hf, hd)),
+                "cells_equal": bool(np.array_equal(
+                    lin_f_np[hf_l & hd_l], lin_d_np[hf_l & hd_l])),
+            }
+            exhaustive["exhaustive_ok"] = bool(
+                exhaustive["hits_equal"] and exhaustive["cells_equal"]
+                and exhaustive["unresolved"] == 0)
+            if not exhaustive["exhaustive_ok"] \
+                    and exhaustive["unresolved"] == 0:
+                # a small set of corner-grazing rays can legitimately
+                # differ between the two backends' FMA contractions;
+                # adjudicate each against the host f32 oracle (PARITY.md
+                # "grazing-cell hits")
+                diff = (hf_l != hd_l) \
+                    | (hf_l & hd_l & (lin_f_np != lin_d_np))
+                idx = np.flatnonzero(diff)
+                if len(idx) <= 2048:  # more than this is a bug, not FMA
+                    adj = adjudicate_hit_diffs(
+                        np.asarray(o_fs).reshape(-1, 3),
+                        np.asarray(d_fs).reshape(-1, 3),
+                        np.asarray(occ).astype(bool), bb_min, vs, idx,
+                        t_f_np, lin_f_np, t_d_np, lin_d_np)
+                    exhaustive.update(adj)
+                    exhaustive["exhaustive_ok"] = adj["adjudication_ok"]
+        except Exception as e:  # never lose the bench JSON to this gate
+            exhaustive = {"exhaustive_ok": False,
+                          "error": f"{type(e).__name__}: {e}"[:500]}
+        log(f"full-scale exhaustiveness: {exhaustive}")
+
+    if parity_ok is not None and exhaustive:
         parity.update(exhaustive)
         parity_ok = parity_ok and exhaustive["exhaustive_ok"]
 

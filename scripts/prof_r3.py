@@ -70,16 +70,24 @@ def _stage_t3(stages):
         td = td.reshape(-1, 3)
         plan = [(16, ("r3",)), (24, ("r3", "r6")), (32, ("r3", "r6")),
                 (48, ("r3",)), (96, ("r3", "r6"))]
-        knob = {"r3": dict(rounds=3), "r6": {}, "r2": dict(rounds=2),
-                "r12": dict(rounds=12), "r6_cf1": dict(cand_frac=1)}
+        knob = {"r3": dict(rounds=3), "r6": {}}
         for res, names in plan:
+            # coarse res can hit the max_l_width=512 clamp — give those
+            # rows a larger cap so hit counts stay comparable across res
+            # (ADVICE r3: timing a lossy accel skews the lap anatomy)
             ta = build_tri_accel(jnp.asarray(tri[:, 0]),
                                  jnp.asarray(tri[:, 1]),
-                                 jnp.asarray(tri[:, 2]), res=res)
+                                 jnp.asarray(tri[:, 2]), res=res,
+                                 max_l_width=4096 if res <= 48 else 512)
             jax.block_until_ready(ta.cell_tris)
             emit(stage="T3", res=res, l_width=ta.l_width,
                  rows=int(ta.cell_tris.shape[0]),
                  overflow=ta.overflow_cells)
+            if ta.overflow_cells > 0:
+                emit(stage="T3", res=res,
+                     skipped="overflow_cells > 0: accel is lossy, timing "
+                             "it would skew the comparison")
+                continue
             for name in names:
                 kw = knob[name]
                 fn = jax.jit(lambda kw=kw, ta=ta: trace_triangles_grid(

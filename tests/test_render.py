@@ -51,6 +51,39 @@ def test_dda_matches_brute_hits(bunny_scene):
     assert np.allclose(tb, td, rtol=2e-6, atol=0)
 
 
+def test_dda_chunked_matches_monolithic(bunny_scene):
+    """trace_grid_dda_chunked (the worker-safe bounded-dispatch driver
+    bench.py's exhaustiveness gate uses) returns the monolithic dda's
+    results — tiny ray_chunk/seg_steps so the resume machinery actually
+    exercises multiple segments and chunk boundaries."""
+    from voxelray_tpu.ops.intersect import make_camera_rays
+    from voxelray_tpu.ops.traverse import trace_grid_dda_chunked
+    scene, grid = bunny_scene
+    _, _, vi, pi = Camera().matrices(W, H)
+    o, d = make_camera_rays(W, H, vi, pi)
+    t_m, lin_m = trace_grid_dda(
+        o, d, scene.occ_flat, scene.grid_origin, dims=scene.grid_dims,
+        voxel_size_static=scene.grid_voxel_size)
+    t_c, lin_c = trace_grid_dda_chunked(
+        o, d, scene.occ_flat, scene.grid_origin, dims=scene.grid_dims,
+        voxel_size_static=scene.grid_voxel_size,
+        ray_chunk=1024, seg_steps=7)
+    assert t_c.shape == (H, W) and lin_c.shape == (H, W)
+    assert np.array_equal(np.asarray(lin_m), lin_c)
+    hit = np.isfinite(np.asarray(t_m))
+    assert np.array_equal(hit, np.isfinite(t_c))
+    assert np.allclose(np.asarray(t_m)[hit], t_c[hit], rtol=2e-6, atol=0)
+
+
+def test_dda_budget_fence_is_cpu_transparent(bunny_scene):
+    """On CPU the fence is a no-op (long while loops are safe on host
+    XLA); the guard only trips on TPU backends.  This pins that tests
+    and dryruns never hit it."""
+    from voxelray_tpu.render.pipeline import _check_dda_budget
+    scene, _ = bunny_scene
+    _check_dda_budget(scene, "dda", 1920, 1080)  # must not raise on CPU
+
+
 def test_render_images_match_across_backends(bunny_scene):
     scene, _ = bunny_scene
     a = np.asarray(render_scene(scene, Camera(), width=W, height=H,

@@ -45,29 +45,46 @@ __all__ = ["Octree", "build_nodes", "build_region_map", "INVALID_INDEX"]
 INVALID_INDEX = np.uint32(0xFFFFFFFF)
 
 # region_map encoding: empty region -> log2(cells per side); occupied
-# leaf -> LEAF_FLAG | node_id << 5 | log2.  25 bits of node id is ample
-# for the bits <= REGION_MAP_MAX_BITS trees the map is built for.
+# leaf -> LEAF_FLAG | node_id << 5 | log2 (25-bit node id); mixed map
+# cell on a COARSE map (map_bits < bits) -> INTERNAL_FLAG | node_id << 5
+# | log2 with a 24-bit node id (bit 29 is the flag) — traversal resumes
+# the child-link descent below that node for the remaining
+# bits - map_bits levels (ops/octree_traverse.py), so grids past the
+# dense-map budget (512^3+, VERDICT r3 item 9) keep the flat fast path:
+# one map gather plus at most bits - map_bits chase steps per region.
 LEAF_FLAG = np.int32(1 << 30)
+INTERNAL_FLAG = np.int32(1 << 29)
 REGION_MAP_MAX_BITS = 8      # map is side^3 i32: 64 MiB at 2^8 per axis
 
 
-def build_region_map(children: np.ndarray, bits: int) -> np.ndarray:
+def build_region_map(children: np.ndarray, bits: int,
+                     map_bits: int | None = None) -> np.ndarray:
     """Flatten the octree's region decomposition to a per-cell lookup.
 
-    For every cell of the conceptual 2^bits cube, record the region the
-    stackless descent would stop at: the deepest empty octant (INVALID
-    child, octTree.hpp:271) or occupied leaf cube containing the cell.
-    Regions partition the cube, so the map paints each cell exactly once
-    (sum over regions of rc^3 == side^3) — an O(side^3) host sweep done
-    once per tree.  Traversal then needs ONE gather per step instead of
-    a bits-deep child-link chase (ops/octree_traverse.py flat path).
+    For every cell of the conceptual 2^map_bits cube, record the region
+    the stackless descent would stop at: the deepest empty octant
+    (INVALID child, octTree.hpp:271) or occupied leaf cube containing
+    the cell — or, when the tree is deeper than the map (map_bits <
+    bits), the INTERNAL node at depth map_bits whose subtree the cell
+    falls in.  Regions at depth <= map_bits partition the cube in
+    coarse-cell multiples, so the map paints each cell exactly once —
+    an O(side_m^3) host sweep done once per tree.  Traversal then needs
+    ONE gather per step (plus the short residual chase under INTERNAL
+    entries) instead of a bits-deep child-link chase
+    (ops/octree_traverse.py flat path).
 
     children: (M, 8) int with -1 for INVALID, pre-order numbered.
-    Returns int32[side^3] indexed x + side*(y + side*z).
+    Returns int32[side_m^3] indexed xm + side_m*(ym + side_m*zm) where
+    the m coords are full-res cell coords >> (bits - map_bits).  The
+    stored log2 region sizes stay in FULL-resolution cells.
     """
-    side = 1 << bits
+    if map_bits is None:
+        map_bits = min(bits, REGION_MAP_MAX_BITS)
+    assert 0 <= map_bits <= bits
+    dshift = bits - map_bits
+    side_m = 1 << map_bits
     ch = np.asarray(children, np.int64)
-    m = np.empty((side * side * side,), np.int32)
+    m = np.empty((side_m * side_m * side_m,), np.int32)
     if len(ch) == 0:
         m[:] = np.int32(bits)      # wholly empty: one root-sized region
         return m
@@ -76,23 +93,29 @@ def build_region_map(children: np.ndarray, bits: int) -> np.ndarray:
     odx, ody, odz = oc & 1, (oc >> 1) & 1, (oc >> 2) & 1
 
     def paint(bases_x, bases_y, bases_z, rc, vals):
+        # bases/rc in FULL-res cells; depth <= map_bits regions are
+        # whole multiples of the coarse cell, so the >> is exact
         if len(bases_x) == 0:
             return
-        off = np.arange(rc, dtype=np.int64)
-        x = bases_x[:, None, None, None] + off[None, None, None, :]
-        y = bases_y[:, None, None, None] + off[None, None, :, None]
-        z = bases_z[:, None, None, None] + off[None, :, None, None]
-        lin = (x + side * (y + side * z)).reshape(len(bases_x), -1)
-        m[lin.reshape(-1)] = np.repeat(vals.astype(np.int32), rc ** 3)
+        rcm = rc >> dshift
+        off = np.arange(rcm, dtype=np.int64)
+        x = (bases_x >> dshift)[:, None, None, None] + off[None, None,
+                                                           None, :]
+        y = (bases_y >> dshift)[:, None, None, None] + off[None, None,
+                                                           :, None]
+        z = (bases_z >> dshift)[:, None, None, None] + off[None, :,
+                                                           None, None]
+        lin = (x + side_m * (y + side_m * z)).reshape(len(bases_x), -1)
+        m[lin.reshape(-1)] = np.repeat(vals.astype(np.int32), rcm ** 3)
 
     nodes = np.array([0], np.int64)
     bx = np.array([0], np.int64)
     by = np.array([0], np.int64)
     bz = np.array([0], np.int64)
-    for depth in range(bits + 1):
+    for depth in range(map_bits + 1):
         if len(nodes) == 0:
             break
-        rc = side >> depth
+        rc = (1 << bits) >> depth
         lg = bits - depth
         leaf = is_leaf[nodes]
         paint(bx[leaf], by[leaf], bz[leaf], rc,
@@ -101,6 +124,14 @@ def build_region_map(children: np.ndarray, bits: int) -> np.ndarray:
         pn = nodes[~leaf]
         pbx, pby, pbz = bx[~leaf], by[~leaf], bz[~leaf]
         if len(pn) == 0:
+            break
+        if depth == map_bits:
+            # deeper structure than the map resolves: hand traversal the
+            # internal node to resume the child-link descent from
+            assert pn.max() < (1 << 24), "internal node id exceeds 24 bits"
+            paint(pbx, pby, pbz, rc,
+                  INTERNAL_FLAG | (pn.astype(np.int32) << 5)
+                  | np.int32(lg))
             break
         half = rc >> 1
         sub = ch[pn]                               # (K, 8)
@@ -261,10 +292,15 @@ class Octree:
     origin_key: tuple = field(default=(0.0, 0.0, 0.0),
                               metadata=dict(static=True))
     set_calls: int = 0
-    region_map: Any = None          # int32[side^3] flattened-descent map
+    region_map: Any = None          # int32[side_m^3] flattened-descent map
                                     # (build_region_map) or None
     items4: Any = None              # int32[>=N, 4] packed (x, y, z, 0)
                                     # item rows for block gathers
+    map_bits: int = field(default=0, metadata=dict(static=True))
+                                    # region_map granularity (== bits when
+                                    # the dense map covers the whole tree;
+                                    # < bits => INTERNAL entries resume
+                                    # the child-link descent)
 
     # -- construction ------------------------------------------------------
     @classmethod
@@ -354,13 +390,19 @@ class Octree:
                                     int(max_items_per_leaf))
         ix, iy, iz = morton_decode3_np(codes)
         # flattened-descent region map + packed item rows (the fast
-        # traversal path) for trees the 64 MiB budget covers
+        # traversal path).  Trees deeper than REGION_MAP_MAX_BITS get a
+        # COARSE map (64 MiB budget) whose INTERNAL entries resume the
+        # child-link descent for the residual bits - map_bits levels —
+        # 512^3+ grids stay on the flat path (VERDICT r3 item 9; the
+        # reference supports 21 bits/axis, octTree.hpp:583-585).
         region_map = None
         items4 = None
-        if 0 < bits <= REGION_MAP_MAX_BITS:
+        map_bits = min(bits, REGION_MAP_MAX_BITS)
+        if bits > 0:
             ch_np = np.where(nodes[:, :8] == np.int64(INVALID_INDEX), -1,
                              nodes[:, :8])
-            region_map = jnp.asarray(build_region_map(ch_np, bits))
+            region_map = jnp.asarray(
+                build_region_map(ch_np, bits, map_bits))
             it4 = np.zeros((max(len(ix), 1) + int(max_items_per_leaf), 4),
                            np.int32)
             it4[: len(ix), 0] = ix
@@ -384,6 +426,7 @@ class Octree:
             origin_key=tuple(float(x) for x in bb_min),
             set_calls=int(calls),
             region_map=region_map, items4=items4,
+            map_bits=map_bits if region_map is not None else 0,
         )
 
     # -- queries -----------------------------------------------------------

@@ -191,15 +191,15 @@ def _trace_octree_impl(o, d, children, node_start, node_count, item_x,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bits", "dims", "voxel_size", "origin_key",
-                     "max_items", "rounds", "steps", "drain_frac",
-                     "max_outer"),
+    static_argnames=("bits", "map_bits", "dims", "voxel_size",
+                     "origin_key", "max_items", "rounds", "steps",
+                     "drain_frac", "max_outer"),
 )
-def _trace_octree_flat_impl(o, d, region_map, node_start, node_count,
-                            items4, t_min,
-                            t_max, *, bits, dims, voxel_size, origin_key,
-                            max_items, rounds, steps, drain_frac,
-                            max_outer):
+def _trace_octree_flat_impl(o, d, region_map, children, node_start,
+                            node_count, items4, t_min,
+                            t_max, *, bits, map_bits, dims, voxel_size,
+                            origin_key, max_items, rounds, steps,
+                            drain_frac, max_outer):
     """Flattened-descent octree walk (the performance path).
 
     Same region sequence and accept rules as _trace_octree_impl, but the
@@ -208,9 +208,12 @@ def _trace_octree_flat_impl(o, d, region_map, node_start, node_count,
     traversal runs as STATIC unrolled rounds — `steps` free-space skips
     then one leaf item test per round — instead of gathers inside a
     while_loop body (~40x slower on this TPU, the round-2 profile).
-    Stragglers drain through a compacted two-level while loop exactly
-    like ops/traverse_fast: zero iterations when the static rounds
-    already resolved every ray.
+    When the map is COARSE (map_bits < bits, e.g. 512^3 grids past the
+    dense-map budget), INTERNAL map entries resume the child-link
+    descent for the residual bits - map_bits levels — a short static
+    chase, not a full-depth one.  Stragglers drain through a compacted
+    two-level while loop exactly like ops/traverse_fast: zero
+    iterations when the static rounds already resolved every ray.
     """
     nx, ny_, _nz = dims
     vs = jnp.float32(voxel_size)
@@ -218,8 +221,12 @@ def _trace_octree_flat_impl(o, d, region_map, node_start, node_count,
     og = jnp.asarray(origin_key, jnp.float32)
     n = o.shape[0]
     side = 1 << bits
+    dshift = bits - map_bits
+    side_m = 1 << map_bits
     leaf_flag = jnp.int32(1 << 30)
+    internal_flag = jnp.int32(1 << 29)
     node_sc = jnp.stack([node_start, node_count], axis=1)  # (M, 2) rows
+    node_leaf = (children < 0).all(axis=1) if dshift else None
 
     grid_max = og + jnp.float32(side) * vs
     inv = 1.0 / d
@@ -251,12 +258,44 @@ def _trace_octree_flat_impl(o, d, region_map, node_start, node_count,
         cell = jnp.clip(jnp.floor((p - og) / vs).astype(jnp.int32), 0,
                         side - 1)
         cx, cy, cz = cell[:, 0], cell[:, 1], cell[:, 2]
-        lin = cx + side * (cy + side * cz)
+        lin = ((cx >> dshift) + side_m * ((cy >> dshift)
+                                          + side_m * (cz >> dshift)))
         act = alive & ~holding
         val = region_map[jnp.where(act, lin, 0)]
         is_leaf = (val & leaf_flag) != 0
         lg = val & 31
         node = (val >> 5) & ((1 << 25) - 1)
+        if dshift:
+            # COARSE map: an INTERNAL entry stops the map at depth
+            # map_bits with deeper structure below — resume the
+            # child-link descent (same digit order as
+            # _trace_octree_impl's descend) for the residual levels
+            is_int = act & ~is_leaf & ((val & internal_flag) != 0)
+            node_i = jnp.where(is_int, (val >> 5) & ((1 << 24) - 1), 0)
+            desc = is_int
+            found_leaf = jnp.zeros_like(is_int)
+            lg_i = jnp.zeros(cx.shape, jnp.int32)
+            for level in range(map_bits, bits):
+                shift = bits - 1 - level
+                octant = (((cx >> shift) & 1)
+                          | (((cy >> shift) & 1) << 1)
+                          | (((cz >> shift) & 1) << 2))
+                child = children[jnp.where(desc, node_i, 0), octant]
+                hit_empty = desc & (child < 0)
+                lg_i = jnp.where(hit_empty, bits - (level + 1), lg_i)
+                moved = desc & (child >= 0)
+                node_i = jnp.where(moved, child, node_i)
+                hit_leaf = moved & node_leaf[jnp.maximum(node_i, 0)]
+                lg_i = jnp.where(hit_leaf, bits - (level + 1), lg_i)
+                found_leaf = found_leaf | hit_leaf
+                desc = moved & ~hit_leaf
+            # depth == bits nodes are leaves by construction
+            # (build splits only while depth < max_depth); defensive
+            found_leaf = found_leaf | desc
+            lg_i = jnp.where(desc, 0, lg_i)
+            is_leaf = is_leaf | (is_int & found_leaf)
+            lg = jnp.where(is_int, lg_i, lg)
+            node = jnp.where(is_int, node_i, node)
         # region cube exit (the octant at the stopping level)
         rx = ((cx >> lg) << lg).astype(jnp.float32)
         ry = ((cy >> lg) << lg).astype(jnp.float32)
@@ -398,9 +437,10 @@ def trace_octree(origins, dirs, tree, t_min=TMIN, t_max=TMAX,
 
     tree: models.octree.Octree.  Hit cells are reported as linear indices
     in the tree's voxel dims (x + nx*(y + ny*z)) like the grid backends.
-    Trees carrying the flattened-descent region map (bits <= 8) trace
-    through the static-round flat path; larger trees fall back to the
-    while-loop child-link descent.
+    Trees carrying the flattened-descent region map trace through the
+    static-round flat path (a coarse map + residual child chase past
+    2^8 cells/axis); trees without one fall back to the while-loop
+    child-link descent.
     """
     batch_shape = origins.shape[:-1]
     o = origins.reshape(-1, 3).astype(jnp.float32)
@@ -413,9 +453,11 @@ def trace_octree(origins, dirs, tree, t_min=TMIN, t_max=TMAX,
 
     if tree.region_map is not None and tree.items4 is not None:
         t, lin = _trace_octree_flat_impl(
-            o, d, tree.region_map, tree.node_start, tree.node_count,
-            tree.items4, jnp.float32(t_min), t_max_b,
-            bits=tree.bits_per_axis, dims=tree.dims,
+            o, d, tree.region_map, tree.children, tree.node_start,
+            tree.node_count, tree.items4, jnp.float32(t_min), t_max_b,
+            bits=tree.bits_per_axis,
+            map_bits=(tree.map_bits or tree.bits_per_axis),
+            dims=tree.dims,
             voxel_size=tree.voxel_size, origin_key=tree.origin_key,
             max_items=int(tree.max_items), rounds=4, steps=4,
             drain_frac=64, max_outer=max_outer)

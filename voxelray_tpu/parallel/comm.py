@@ -89,8 +89,15 @@ def voxelize_sharded(tri_verts, origin, mesh: Mesh, *, dims,
 
 def render_sharded(scene, view_inv, proj_inv, mesh: Mesh, *, width, height,
                    light=None, clear_color=(1.0, 1.0, 1.0, 1.0),
-                   backend="dda"):
+                   backend="fast", shadows=True, fast_opts=None):
     """Row-sharded render: each device traces ceil(height/n) rows.
+
+    This is the multi-chip form of the production render (SURVEY §2.4
+    row 3 — the SIMT-ray axis is what shards): backend defaults to the
+    same Pallas "fast" path render_image ships, with the same per-shard
+    ray-coherence tiling when the shard's row block tiles evenly, and
+    falls back to the dda/brute paths exactly like render_image.
+    shadows/fast_opts mirror render_image's knobs.
 
     Any (height, n_devices) combination works: the row axis is padded to
     a multiple of n (padding rows trace duplicate last-row rays — their
@@ -101,13 +108,19 @@ def render_sharded(scene, view_inv, proj_inv, mesh: Mesh, *, width, height,
     from ..models.scene import Light
     from ..ops.intersect import make_camera_rays
     from ..render import shading
-    from ..render.pipeline import render_rays
+    from ..render.pipeline import (_can_tile, _tile_rays, _untile_rays,
+                                   render_rays)
 
     light = light or Light()
     axis = mesh.axis_names[0]
     n = mesh.devices.size
     rows_per = -(-height // n)
     pad_rows = rows_per * n - height
+    if backend == "fast" and scene.accel is None:
+        backend = "dda"  # render_image's own fallback chain
+    opts = tuple(sorted(
+        (k, tuple(v) if isinstance(v, list) else v)
+        for k, v in fast_opts.items())) if fast_opts else ()
 
     lp = jnp.asarray(light.position, jnp.float32)
     li = jnp.float32(light.intensity)
@@ -134,7 +147,14 @@ def render_sharded(scene, view_inv, proj_inv, mesh: Mesh, *, width, height,
                                         (pad_rows,) + dirs.shape[1:])])
         o = jax.lax.dynamic_slice_in_dim(origins, row0, rows_per, axis=0)
         d = jax.lax.dynamic_slice_in_dim(dirs, row0, rows_per, axis=0)
-        rgb = render_rays(scene_rep, o, d, lp, li, lt, cc, backend=backend)
+        tiled = backend == "fast" and _can_tile(rows_per, width)
+        if tiled:
+            o = _tile_rays(o, rows_per, width)
+            d = _tile_rays(d, rows_per, width)
+        rgb = render_rays(scene_rep, o, d, lp, li, lt, cc, backend=backend,
+                          shadows=shadows, fast_opts=opts)
+        if tiled:
+            rgb = _untile_rays(rgb, rows_per, width)
         rgba = jnp.concatenate(
             [rgb, jnp.ones(rgb.shape[:-1] + (1,), jnp.float32)], axis=-1)
         return shading.gamma_post(rgba)

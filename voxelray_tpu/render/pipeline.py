@@ -332,6 +332,30 @@ def _render_jit(scene, view_inv, proj_inv, light_position, light_intensity,
     return shading.gamma_post(rgba)
 
 
+def _check_dda_budget(scene: Scene, backend, width, height):
+    """Refuse a dda dispatch that can wedge the TPU worker (VERDICT r3
+    item 5): the monolithic dda's while bound is nx+ny+nz+3 full-width
+    iterations, and past DDA_SAFE_RAY_STEPS of rays x bound the axon
+    worker has crashed (round 3, twice).  A clear error beats a wedged
+    chip; the fast backend or ops.traverse.trace_grid_dda_chunked cover
+    the same scale safely."""
+    if backend != "dda" or scene.occ_flat.shape[0] == 0:
+        return
+    if jax.default_backend() == "cpu":
+        return  # host XLA runs long while-loops fine (tests, dryruns)
+    from ..ops.traverse import DDA_SAFE_RAY_STEPS
+    nx, ny, nz = scene.grid_dims
+    work = width * height * (nx + ny + nz + 3)
+    if work > DDA_SAFE_RAY_STEPS:
+        raise ValueError(
+            f"backend='dda' at {width}x{height} over a {nx}x{ny}x{nz} "
+            f"grid is ~{work:.2e} ray-steps in one dispatch — past the "
+            f"measured TPU-worker-safe envelope ({DDA_SAFE_RAY_STEPS:.0e}"
+            "). Use backend='fast' (the production path, dda-verified), "
+            "or ops.traverse.trace_grid_dda_chunked for an eager "
+            "bounded-dispatch exhaustive reference.")
+
+
 def render_image(scene: Scene, view_inv, proj_inv, *, width, height,
                  light: Light = Light(), clear_color=(1.0, 1.0, 1.0, 1.0),
                  backend="dda", shadows=True, fast_opts=None):
@@ -341,6 +365,7 @@ def render_image(scene: Scene, view_inv, proj_inv, *, width, height,
     chunk, k_hits, fine_frac, two_level, ...) applied when
     backend="fast"; hashed into the jit key.
     """
+    _check_dda_budget(scene, backend, width, height)
     # normalize list values (k_hits=[8, 4] etc.) to tuples: opts is part
     # of the jit key and must be hashable (ADVICE r2 item 4)
     opts = tuple(sorted(
@@ -411,6 +436,7 @@ def render_aov(scene: Scene, camera: Camera = Camera(), *, width=1280,
                height=720, backend="dda"):
     """Depth + normal + hit-mask buffers (the BASELINE config-3 output:
     hit distance and surface normal per pixel, no shading)."""
+    _check_dda_budget(scene, backend, width, height)
     _, _, view_inv, proj_inv = camera.matrices(width, height)
     return _aov_jit(scene, jnp.asarray(view_inv), jnp.asarray(proj_inv),
                     width=width, height=height, backend=backend)

@@ -88,12 +88,14 @@ def load_grid(path: str):
         # rebuild for EMPTY trees too: a fresh build carries a (all-empty)
         # region map whenever bits fits, and a restored tree must be
         # structurally identical to a fresh one (jit keys, equality)
-        if 0 < bits <= REGION_MAP_MAX_BITS:
-            rm = build_region_map(np.asarray(out.children), bits)
+        if bits > 0:
+            map_bits = min(bits, REGION_MAP_MAX_BITS)
+            rm = build_region_map(np.asarray(out.children), bits, map_bits)
             it4 = np.zeros((out.n_items + out.max_items, 4), np.int32)
             it4[: out.n_items, 0] = np.asarray(out.item_x)
             it4[: out.n_items, 1] = np.asarray(out.item_y)
             it4[: out.n_items, 2] = np.asarray(out.item_z)
             out = dataclasses.replace(out, region_map=jnp.asarray(rm),
-                                      items4=jnp.asarray(it4))
+                                      items4=jnp.asarray(it4),
+                                      map_bits=map_bits)
     return out
