@@ -145,3 +145,76 @@ def test_or_reduce_semantics(mesh8):
     want = np.zeros(16, np.uint8)
     want[5] = want[9] = 1
     assert np.array_equal(out, want)
+
+
+def test_zslab_trace_matches_monolithic(mesh8):
+    """Grid sharded over Z-slabs (SURVEY §5 long-context analog): the
+    per-slab DDA + pmin merge must reproduce the monolithic full-grid
+    DDA exactly — same cells, same hit mask, t to the cross-program
+    float envelope."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from voxelray_tpu.ops.intersect import make_camera_rays
+    from voxelray_tpu.ops.traverse import (trace_grid_dda,
+                                           trace_grid_dda_zslab)
+
+    v, f = meshes.bunny_like(2)
+    grid = GridBool.from_mesh(v, f, 0.11)
+    scene = build_scene(models=None, grid=grid)
+    nx, ny, nz = scene.grid_dims
+    n = 8
+    nzs = -(-nz // n)
+    W, H = 64, 32
+    _, _, vi, pi = Camera().matrices(W, H)
+    o, d = make_camera_rays(W, H, vi, pi)
+
+    t_m, lin_m = trace_grid_dda(
+        o, d, scene.occ_flat, scene.grid_origin, dims=scene.grid_dims,
+        voxel_size_static=scene.grid_voxel_size)
+
+    occ3 = np.asarray(scene.occ_flat, np.uint8).reshape(nz, ny, nx)
+    occp = np.pad(occ3, ((0, nzs * n - nz), (0, 0), (0, 0)))
+    occ_sh = jnp.asarray(occp.reshape(n, nzs * ny * nx))
+    imax = np.iinfo(np.int32).max
+
+    @partial(jax.shard_map, mesh=mesh8,
+             in_specs=(P("rays"), P(), P(), P()),
+             out_specs=(P(), P()), check_vma=False)
+    def _trace(occ_slab, oo, dd, org):
+        z0 = jax.lax.axis_index("rays").astype(jnp.int32) * nzs
+        t, lin = trace_grid_dda_zslab(
+            oo, dd, occ_slab.reshape(-1), org, z0,
+            dims=(nx, ny, nz), nzs=nzs,
+            voxel_size_static=scene.grid_voxel_size)
+        t_min_all = jax.lax.pmin(t, "rays")
+        lin_sel = jnp.where(jnp.isfinite(t) & (t == t_min_all), lin,
+                            jnp.int32(imax))
+        lin_all = jax.lax.pmin(lin_sel, "rays")
+        return t_min_all, jnp.where(jnp.isfinite(t_min_all), lin_all, -1)
+
+    t_s, lin_s = _trace(occ_sh, o, d, scene.grid_origin)
+    assert np.array_equal(np.asarray(lin_m), np.asarray(lin_s))
+    hm = np.isfinite(np.asarray(t_m))
+    assert np.array_equal(hm, np.isfinite(np.asarray(t_s)))
+    assert np.allclose(np.asarray(t_m)[hm], np.asarray(t_s)[hm],
+                       rtol=2e-6, atol=0)
+
+
+def test_zslab_render_matches_replicated(mesh8):
+    """Full shaded+shadowed frame with the grid sharded over Z-slabs
+    matches the replicated dda render (VERDICT r3 item 7)."""
+    from voxelray_tpu.parallel.comm import render_zslab_sharded
+
+    v, f = meshes.bunny_like(2)
+    grid = GridBool.from_mesh(v, f, 0.11)
+    scene = build_scene(models=None, grid=grid)
+    W, H = 64, 32
+    _, _, vi, pi = Camera().matrices(W, H)
+    a = np.asarray(render_image(scene, vi, pi, width=W, height=H,
+                                backend="dda"))
+    b = np.asarray(render_zslab_sharded(scene, vi, pi, mesh8,
+                                        width=W, height=H))
+    assert a.shape == b.shape
+    assert np.allclose(a, b, rtol=2e-6, atol=1e-7)

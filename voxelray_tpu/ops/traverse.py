@@ -36,9 +36,9 @@ import numpy as np
 from .intersect import TMAX, TMIN, hit_aabb
 
 __all__ = ["trace_aabbs_brute", "any_hit_aabbs_brute", "trace_grid_dda",
-           "trace_grid_dda_chunked", "any_hit_grid_dda",
-           "trace_triangles_brute", "any_hit_triangles_brute",
-           "DDA_SAFE_RAY_STEPS"]
+           "trace_grid_dda_chunked", "trace_grid_dda_zslab",
+           "any_hit_grid_dda", "trace_triangles_brute",
+           "any_hit_triangles_brute", "DDA_SAFE_RAY_STEPS"]
 
 # Measured safe-work envelope for ONE dda dispatch on the axon TPU: the
 # full-preset monolithic call (2.07M rays x ~1417-step while bound ~
@@ -386,6 +386,105 @@ def trace_grid_dda_chunked(origins, dirs, occ_flat, grid_origin, *, dims,
         t_out[c0:c1] = np.asarray(t_c)[:m]
         lin_out[c0:c1] = np.asarray(best_lin)[:m]
     return (t_out.reshape(batch_shape), lin_out.reshape(batch_shape))
+
+
+def trace_grid_dda_zslab(origins, dirs, occ_slab_flat, grid_origin, z0, *,
+                         dims, nzs, voxel_size_static, t_min=TMIN,
+                         t_max=TMAX):
+    """DDA over ONE Z-slab of a grid sharded across devices (SURVEY §5
+    "long-context analog": occupancy sharded over Z so grids larger than
+    one chip's HBM stay renderable).
+
+    occ_slab_flat: (nx*ny*nzs,) uint8, the slab's cells in x-fastest
+    order; z0: TRACED int32 first global z of the slab (axis_index * nzs
+    under shard_map); dims stays the FULL grid dims.  All float
+    expressions (cell AABB slab t, step boundaries) use the GLOBAL
+    origin and GLOBAL cell coordinates — identical values to the
+    monolithic trace_grid_dda, so a pmin-over-slabs merge reproduces the
+    replicated result (the first accepted cell along a ray is its
+    global min-t accept: slab t0 is non-decreasing along the walk).
+    Returns (t, lin) with GLOBAL linear cell ids; +inf/-1 where this
+    slab has no accept.  Plain traced function — call it inside
+    shard_map/jit (parallel/comm.py render_zslab_sharded).
+    """
+    nx, ny, nz = dims
+    vs = jnp.float32(voxel_size_static)
+    origin = jnp.asarray(grid_origin, jnp.float32)
+    batch_shape = origins.shape[:-1]
+    o = origins.reshape(-1, 3)
+    d = dirs.reshape(-1, 3)
+    n_rays = o.shape[0]
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                             batch_shape).reshape(-1)
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32),
+                             batch_shape).reshape(-1)
+    z0 = jnp.asarray(z0, jnp.int32)
+    z0f = z0.astype(jnp.float32)
+
+    inv_d = 1.0 / d
+    # entry into the SLAB's box (x/y full extent, z the slab's)
+    box_min = jnp.stack([origin[0], origin[1], origin[2] + z0f * vs])
+    box_max = jnp.stack([origin[0] + jnp.float32(nx) * vs,
+                         origin[1] + jnp.float32(ny) * vs,
+                         origin[2] + (z0f + jnp.float32(nzs)) * vs])
+    tbot = inv_d * (box_min[None, :] - o)
+    ttop = inv_d * (box_max[None, :] - o)
+    tn = jnp.minimum(tbot, ttop)
+    tf = jnp.maximum(tbot, ttop)
+    t_enter = jnp.maximum(jnp.maximum(tn[:, 0], tn[:, 1]), tn[:, 2])
+    t_exit = jnp.minimum(jnp.minimum(tf[:, 0], tf[:, 1]), tf[:, 2])
+    t_start = jnp.maximum(t_enter, 0.0) + 1e-7
+    active = t_exit > jnp.maximum(t_enter, 0.0)
+
+    p = o + d * t_start[:, None]
+    cell = jnp.floor((p - origin) / vs).astype(jnp.int32)
+    lo = jnp.stack([jnp.int32(0), jnp.int32(0), z0])
+    hi = jnp.stack([jnp.int32(nx - 1), jnp.int32(ny - 1),
+                    z0 + jnp.int32(nzs - 1)])
+    cell = jnp.clip(cell, lo[None, :], hi[None, :])
+    step = jnp.where(d >= 0, 1, -1).astype(jnp.int32)
+    next_bound = origin + (cell + (step > 0)).astype(jnp.float32) * vs
+    t_next = jnp.where(d != 0.0, (next_bound - o) * inv_d, jnp.inf)
+    t_delta = jnp.where(d != 0.0, vs * jnp.abs(inv_d), jnp.inf)
+    max_steps = nx + ny + nzs + 3
+
+    def cond(state):
+        _, _, _, active, steps = state
+        return (steps < max_steps) & jnp.any(active)
+
+    def body(state):
+        cell, t_next, best, active, steps = state
+        lin_local = cell[:, 0] + nx * (cell[:, 1]
+                                       + ny * (cell[:, 2] - z0))
+        occ_here = occ_slab_flat[
+            jnp.clip(lin_local, 0, nx * ny * nzs - 1)] > 0
+        t0 = _dda_cell_hit_t(cell, o, d, origin, vs)
+        ok = active & occ_here & _accept(t0, t_min, t_max)
+        best_t, best_lin = best
+        best_t = jnp.where(ok, t0, best_t)
+        # report the GLOBAL linear id (x + nx*(y + ny*z))
+        best_lin = jnp.where(
+            ok, cell[:, 0] + nx * (cell[:, 1] + ny * cell[:, 2]),
+            best_lin)
+        active = active & ~ok
+        axis = jnp.argmin(t_next, axis=-1)
+        t_cross = jnp.take_along_axis(t_next, axis[:, None], axis=-1)[:, 0]
+        active = active & (t_cross <= jnp.broadcast_to(t_max,
+                                                       t_cross.shape))
+        onehot = jax.nn.one_hot(axis, 3, dtype=jnp.int32)
+        cell = cell + onehot * step
+        t_next = t_next + onehot.astype(jnp.float32) * t_delta
+        oob = (cell < lo[None, :]) | (cell > hi[None, :])
+        active = active & ~oob.any(axis=-1)
+        return cell, t_next, (best_t, best_lin), active, steps + 1
+
+    init = (cell, t_next,
+            (jnp.full((n_rays,), jnp.inf, jnp.float32),
+             jnp.full((n_rays,), -1, jnp.int32)),
+            active, jnp.int32(0))
+    _, _, (_t_loop, lin), _, _ = jax.lax.while_loop(cond, body, init)
+    t = _dda_final_t(lin, o, d, origin, vs, dims=dims)
+    return t.reshape(batch_shape), lin.reshape(batch_shape)
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "voxel_size_static"))

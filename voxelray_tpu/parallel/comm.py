@@ -27,7 +27,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "shard_triangles", "voxelize_sharded",
-           "render_sharded", "or_reduce_occupancy"]
+           "render_sharded", "render_zslab_sharded",
+           "or_reduce_occupancy"]
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "rays") -> Mesh:
@@ -161,3 +162,114 @@ def render_sharded(scene, view_inv, proj_inv, mesh: Mesh, *, width, height,
 
     img = _render(scene, jnp.asarray(view_inv), jnp.asarray(proj_inv))
     return img[:height] if pad_rows else img
+
+
+def render_zslab_sharded(scene, view_inv, proj_inv, mesh: Mesh, *,
+                         width, height, light=None,
+                         clear_color=(1.0, 1.0, 1.0, 1.0), shadows=True):
+    """Render with the OCCUPANCY GRID sharded over Z-slabs (SURVEY §5
+    "long-context analog"): each device holds only nz/n slabs of the
+    grid, every device traces ALL rays against its slab with GLOBAL
+    coordinates (ops.traverse.trace_grid_dda_zslab), and the per-slab
+    results merge with collectives — nearest hit by a pmin over slab t
+    (slab t0 is non-decreasing along a walk, so the global min IS the
+    first accepted cell of the monolithic walk; exact-t ties across
+    slabs resolve to the smaller cell id), occlusion by an OR.  Grids
+    larger than one chip's HBM therefore stay renderable — the
+    capability the reference bounds by single-GPU VRAM residency of its
+    AABB buffer (hello_vulkan.cpp:709-715).
+
+    Triangle geometry (and shading) stays replicated: the injected
+    trace/any-hit closures only replace the VOXEL queries, so the
+    shading is byte-for-byte render_rays (pipeline.py).
+
+    Returns the gamma-corrected (H, W, 4) framebuffer (replicated).
+    """
+    import dataclasses
+
+    from ..models.scene import Light
+    from ..ops.intersect import make_camera_rays
+    from ..ops.traverse import trace_grid_dda_zslab
+    from ..render import shading
+    from ..render.pipeline import render_rays
+
+    light = light or Light()
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    nx, ny, nz = scene.grid_dims
+    vs = scene.grid_voxel_size
+    if nz == 0:
+        raise ValueError("render_zslab_sharded needs a voxel grid scene")
+    nzs = -(-nz // n)
+
+    # host-side slab split: (nz, ny, nx) -> (n, nzs*ny*nx), z-padded with
+    # empty cells (never hit).  THE point of this path is that each
+    # device materializes only its own slab.
+    occ3 = np.asarray(scene.occ_flat, np.uint8).reshape(nz, ny, nx)
+    occp = np.pad(occ3, ((0, nzs * n - nz), (0, 0), (0, 0)))
+    occ_sh = jnp.asarray(occp.reshape(n, nzs * ny * nx))
+
+    # replicated scene WITHOUT the full grid payload (the big arrays the
+    # sharding exists to split); occ_flat keeps one sentinel cell so the
+    # shading's grid-path branches (cube normals from grid dims) stay on
+    scene_rep = dataclasses.replace(
+        scene, occ_flat=jnp.ones(1, jnp.uint8), accel=None, octree=None,
+        voxel_aabbs=jnp.zeros((0, 6), jnp.float32))
+
+    lp = jnp.asarray(light.position, jnp.float32)
+    li = jnp.float32(light.intensity)
+    lt = jnp.int32(light.type)
+    cc = jnp.asarray(clear_color, jnp.float32)
+    imax = jnp.int32(np.iinfo(np.int32).max)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(axis), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def _render(scene_r, occ_slab, vi, pi):
+        z0 = jax.lax.axis_index(axis).astype(jnp.int32) * nzs
+        occ_slab = occ_slab.reshape(-1)
+        origins, dirs = make_camera_rays(width, height, vi, pi)
+
+        def trace_fn(o, d, tmn, tmx):
+            t, lin = trace_grid_dda_zslab(
+                o, d, occ_slab, scene_r.grid_origin, z0,
+                dims=(nx, ny, nz), nzs=nzs, voxel_size_static=vs,
+                t_min=tmn, t_max=tmx)
+            t_m = jax.lax.pmin(t, axis)
+            lin_sel = jnp.where(jnp.isfinite(t) & (t == t_m), lin, imax)
+            lin_m = jax.lax.pmin(lin_sel, axis)
+            return t_m, jnp.where(jnp.isfinite(t_m), lin_m, -1)
+
+        def any_hit_fn(o, d, tmn, tmx):
+            t, _ = trace_grid_dda_zslab(
+                o, d, occ_slab, scene_r.grid_origin, z0,
+                dims=(nx, ny, nz), nzs=nzs, voxel_size_static=vs,
+                t_min=tmn, t_max=tmx)
+            occl = jax.lax.psum(jnp.isfinite(t).astype(jnp.int32),
+                                axis) > 0
+            if scene_r.n_triangles:
+                # replicated triangle occlusion, same helpers as
+                # pipeline._any_hit
+                if scene_r.tri_accel is not None:
+                    from ..ops.tri_accel import any_hit_triangles_grid
+                    occl |= any_hit_triangles_grid(
+                        o, d, scene_r.tri_accel, t_min=tmn, t_max=tmx)
+                else:
+                    from ..ops.traverse import any_hit_triangles_brute
+                    occl |= any_hit_triangles_brute(
+                        o, d, scene_r.tri_v0, scene_r.tri_v1,
+                        scene_r.tri_v2, t_min=tmn, t_max=tmx)
+            return occl
+
+        rgb = render_rays(scene_r, origins, dirs, lp, li, lt, cc,
+                          backend="dda", shadows=shadows,
+                          trace_voxels_fn=trace_fn, any_hit_fn=any_hit_fn)
+        rgba = jnp.concatenate(
+            [rgb, jnp.ones(rgb.shape[:-1] + (1,), jnp.float32)], axis=-1)
+        return shading.gamma_post(rgba)
+
+    return _render(scene_rep, occ_sh, jnp.asarray(view_inv),
+                   jnp.asarray(proj_inv))

@@ -190,8 +190,17 @@ def _any_hit(scene: Scene, origins, dirs, t_min, t_max, backend,
 def render_rays(scene: Scene, origins, dirs, light_position,
                 light_intensity, light_type, clear_color, *,
                 backend="dda", t_min=TMIN, t_max=TMAX, shadows=True,
-                fast_opts=()):
-    """Trace + shade a ray batch; returns linear-space RGB (..., 3)."""
+                fast_opts=(), trace_voxels_fn=None, any_hit_fn=None):
+    """Trace + shade a ray batch; returns linear-space RGB (..., 3).
+
+    trace_voxels_fn / any_hit_fn: optional overrides for the voxel
+    nearest-hit and occlusion queries — the Z-slab-sharded grid path
+    (parallel/comm.py render_zslab_sharded) injects per-device slab
+    traversals + collectives here so the SHADING stays this exact code
+    (no drift between the replicated and sharded pipelines).
+    trace_voxels_fn(origins, dirs, t_min, t_max) -> (t, cell_lin);
+    any_hit_fn(origins, dirs, t_min, t_max) -> bool occluded.
+    """
     # ---- closest hit over both geometry kinds --------------------------
     if scene.n_triangles:
         t_tri, tri_id, bu, bv = _trace_triangles(scene, origins, dirs,
@@ -200,8 +209,11 @@ def render_rays(scene: Scene, origins, dirs, light_position,
         t_tri = jnp.full(origins.shape[:-1], jnp.inf, jnp.float32)
         tri_id = jnp.full(origins.shape[:-1], -1, jnp.int32)
         bu = bv = jnp.zeros(origins.shape[:-1], jnp.float32)
-    t_vox, vox_id = _trace_voxels(scene, origins, dirs, t_min, t_max,
-                                  backend, fast_opts)
+    if trace_voxels_fn is not None:
+        t_vox, vox_id = trace_voxels_fn(origins, dirs, t_min, t_max)
+    else:
+        t_vox, vox_id = _trace_voxels(scene, origins, dirs, t_min, t_max,
+                                      backend, fast_opts)
 
     vox_hit = jnp.isfinite(t_vox) & (t_vox < t_tri)
     tri_hit = jnp.isfinite(t_tri) & ~vox_hit
@@ -262,8 +274,11 @@ def render_rays(scene: Scene, origins, dirs, light_position,
         # the full-width trace REGRESSED 23% — buffer compaction is the
         # form that pays.
         admit = (any_hit & facing) if backend == "fast" else None
-        shadowed = _any_hit(scene, world_pos, l_vec, TMIN, light_dist,
-                            backend, admit=admit, fast_opts=fast_opts)
+        if any_hit_fn is not None:
+            shadowed = any_hit_fn(world_pos, l_vec, TMIN, light_dist)
+        else:
+            shadowed = _any_hit(scene, world_pos, l_vec, TMIN, light_dist,
+                                backend, admit=admit, fast_opts=fast_opts)
         shadowed = jnp.where(facing, shadowed, True)  # traced when facing
     else:
         # shadows disabled: every facing surface counts as lit
