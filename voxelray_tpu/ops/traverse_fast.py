@@ -259,7 +259,8 @@ def _fine_resolve_block(o, d, brick_lin, t_max, accel, t_min):
                      "fine_frac", "admit_frac", "two_level",
                      "resident_frac", "drain", "drain_frac", "drain_k",
                      "cont_rounds", "cont_k", "cont_frac", "fine_unroll",
-                     "fine_bq", "fine_static", "fine_ilp"),
+                     "fine_bq", "fine_static", "fine_ilp",
+                     "resident_groups", "drain_hoist"),
 )
 def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
                      rounds, chunk, fine="walk", k_hits=4, fine_frac=4,
@@ -267,7 +268,7 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
                      drain=True, drain_frac=64, drain_k=8,
                      cont_rounds=0, cont_k=8, cont_frac=4,
                      fine_unroll=13, fine_bq=None, fine_static=False,
-                     fine_ilp=1):
+                     fine_ilp=1, resident_groups=None, drain_hoist=1):
     n = o.shape[0]
     cx, cy, cz, active = _init_state(
         o, d, accel, t_max,
@@ -563,15 +564,46 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
         caps += [cap_up(-(-n // resident_frac))] * 3 \
             + [cap_up(-(-n // (resident_frac * 4)))] * max(0, rounds - 4)
 
+    GR = 8
     for r in range(rounds):
         cap = caps[r]
         if cap < n:
-            sel, live, sel_c, _ = compact_mask(act_i, cap, n)
-            # packed ROW gathers (cheap) but scalar COLUMN write-backs:
-            # measured on chip a (cap, 4) row scatter costs 3x four
-            # 1-D scatters (45.7 vs 15.8 ms at full width)
-            r8 = rays8[sel_c]          # (cap, 8) — one row gather
-            s4 = jnp.stack([cx, cy, cz, act_i], axis=1)[sel_c]
+            use_groups = (resident_groups if resident_groups is not None
+                          else (n % GR == 0 and cap % GR == 0))
+            if use_groups and n % GR == 0 and cap % GR == 0:
+                # GROUP resident compaction (round-4): the per-ray
+                # compact_mask scatter prices n LANES (~13 ms at 2.07M
+                # rays) — the dominant glue of the admit-compacted
+                # shadow pass.  Tiled rays are coherent, so compacting
+                # GROUPS of 8 consecutive rays cuts that scatter to
+                # n/8 lanes and turns the state gathers into wide group
+                # rows.  Inactive lanes inside a kept group ride along
+                # with act=0 (immediate no-op in the walk); groups that
+                # do not fit keep act_i=1 + stale-valid state and the
+                # next round / drain serves them — the same
+                # never-dropped overflow contract as per-ray slots, so
+                # results are bit-identical, only scheduling moves.
+                ng_r, gcap_r = n // GR, cap // GR
+                ga = act_i.reshape(ng_r, GR).max(axis=1)
+                gsel, glive, gsel_c, _ = compact_mask(ga, gcap_r, ng_r)
+                lane_r = jnp.arange(GR, dtype=jnp.int32)
+                sel = jnp.where(glive[:, None],
+                                gsel[:, None] * GR + lane_r,
+                                n).reshape(-1)
+                sel_c = jnp.minimum(sel, n - 1)
+                live = jnp.broadcast_to(glive[:, None],
+                                        (gcap_r, GR)).reshape(-1)
+                r8 = rays8.reshape(ng_r, GR * 8)[gsel_c].reshape(cap, 8)
+                s4 = jnp.stack([cx, cy, cz, act_i], axis=1) \
+                    .reshape(ng_r, GR * 4)[gsel_c].reshape(cap, 4)
+            else:
+                sel, live, sel_c, _ = compact_mask(act_i, cap, n)
+                # packed ROW gathers (cheap) but scalar COLUMN
+                # write-backs: measured on chip a (cap, 4) row scatter
+                # costs 3x four 1-D scatters (45.7 vs 15.8 ms at full
+                # width)
+                r8 = rays8[sel_c]      # (cap, 8) — one row gather
+                s4 = jnp.stack([cx, cy, cz, act_i], axis=1)[sel_c]
             t, lin, scx, scy, scz, cont_s = one_round(
                 r8[:, 0], r8[:, 1], r8[:, 2],
                 r8[:, 3], r8[:, 4], r8[:, 5],
@@ -609,7 +641,7 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
             act_i = (act & ~resolved & (cont > 0)).astype(jnp.int32)
 
     if not drain:
-        return best_t, best_lin, jnp.sum(act_i)
+        return best_t, best_lin, jnp.sum(act_i), jnp.int32(0)
 
     # ---- exhaustiveness drain (VERDICT r2 item 2) -----------------------
     # Rays still active after the static rounds (crossed more occupied
@@ -634,23 +666,30 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
     max_iters = (bxx + byy + bzz + 3 + drain_k - 1) // drain_k + 1
     outer_cap = -(-n // cap_d) + 1
 
-    def outer_cond(st):
-        return jnp.logical_and(jnp.any(st[0] > 0), st[6] < outer_cap)
+    def drain_compact(act_i, cx, cy, cz):
+        """Compact active rays into the cap_d drain domain (the same
+        group-of-8 trick as the resident rounds when shapes allow — the
+        full-width per-ray scatter is the drain's fixed cost)."""
+        if n % 8 == 0 and cap_d % 8 == 0:
+            ng_d, gcap_d = n // 8, cap_d // 8
+            ga = act_i.reshape(ng_d, 8).max(axis=1)
+            gsel, glive, gsel_c, _ = compact_mask(ga, gcap_d, ng_d)
+            lane_d = jnp.arange(8, dtype=jnp.int32)
+            sel = jnp.where(glive[:, None], gsel[:, None] * 8 + lane_d,
+                            n).reshape(-1)
+            sel_c = jnp.minimum(sel, n - 1)
+            live = jnp.broadcast_to(glive[:, None], (gcap_d, 8)) \
+                .reshape(-1)
+            r8 = rays8.reshape(ng_d, 64)[gsel_c].reshape(cap_d, 8)
+            s4 = jnp.stack([cx, cy, cz, act_i], axis=1) \
+                .reshape(ng_d, 32)[gsel_c].reshape(cap_d, 4)
+        else:
+            sel, live, sel_c, _ = compact_mask(act_i, cap_d, n)
+            r8 = rays8[sel_c]
+            s4 = jnp.stack([cx, cy, cz, act_i], axis=1)[sel_c]
+        return sel, live, r8, s4
 
-    def outer_body(st):
-        act_i, cx, cy, cz, best_t, best_lin, outer = st
-        sel, live, sel_c, _ = compact_mask(act_i, cap_d, n)
-        r8 = rays8[sel_c]
-        s4 = jnp.stack([cx, cy, cz, act_i], axis=1)[sel_c]
-        dox, doy, doz = r8[:, 0], r8[:, 1], r8[:, 2]
-        ddx, ddy, ddz = r8[:, 3], r8[:, 4], r8[:, 5]
-        dtmx = r8[:, 6]
-        dtmn = r8[:, 7]
-
-        def drain_cond(dst):
-            return jnp.logical_and(jnp.any(dst[0] > 0),
-                                   dst[6] < max_iters)
-
+    def make_drain_body(sel, dox, doy, doz, ddx, ddy, ddz, dtmn, dtmx):
         def drain_body(dst):
             dact, dcx, dcy, dcz, bt, bl, it = dst
             hits, ncx, ncy, ncz, cont = coarse_walk(
@@ -673,24 +712,66 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
             bl = bl.at[idx].set(lin_c, mode="drop")
             ndact = ((dact > 0) & ~got & (cont > 0)).astype(jnp.int32)
             return (ndact, ncx, ncy, ncz, bt, bl, it + 1)
+        return drain_body
 
+    def drain_cond(dst):
+        return jnp.logical_and(jnp.any(dst[0] > 0), dst[6] < max_iters)
+
+    laps0 = jnp.int32(0)
+    if drain_hoist:
+        # HOISTED first lap (round-4): the outer while below compacts
+        # at FULL width inside its body, where gathers/scatters run
+        # ~40x slower on this TPU — and the bench scene measures
+        # laps=1 on EVERY frame (primary and shadow), so that cost is
+        # always paid.  Running lap 1 as straight-line code (group
+        # compaction + `drain_hoist` unrolled drain steps + the inner
+        # while for stragglers) moves the common case out of the loop;
+        # the outer while remains the exact backstop for laps >= 2
+        # (dense scenes whose stragglers overflow cap_d).  Results are
+        # bit-identical: same updates, same drop-mode writes, only
+        # scheduling moves.
+        sel_h, live_h, r8_h, s4_h = drain_compact(act_i, cx, cy, cz)
+        body_h = make_drain_body(sel_h, r8_h[:, 0], r8_h[:, 1],
+                                 r8_h[:, 2], r8_h[:, 3], r8_h[:, 4],
+                                 r8_h[:, 5], r8_h[:, 7], r8_h[:, 6])
+        st_h = ((live_h & (s4_h[:, 3] > 0)).astype(jnp.int32),
+                s4_h[:, 0], s4_h[:, 1], s4_h[:, 2], best_t, best_lin,
+                jnp.int32(0))
+        for _ in range(max(0, int(drain_hoist) - 1)):
+            # straight-line steps (fast gathers); guarded by a no-op
+            # where every lane is already dead via dact=0 masks inside
+            st_h = body_h(st_h)
+        dact_h, _, _, _, best_t, best_lin, _ = jax.lax.while_loop(
+            drain_cond, body_h, st_h)
+        act_i = act_i.at[sel_h].set(dact_h, mode="drop")
+        laps0 = jnp.int32(1)
+
+    def outer_cond(st):
+        return jnp.logical_and(jnp.any(st[0] > 0), st[6] < outer_cap)
+
+    def outer_body(st):
+        act_i, cx, cy, cz, best_t, best_lin, outer = st
+        sel, live, r8, s4 = drain_compact(act_i, cx, cy, cz)
+        body = make_drain_body(sel, r8[:, 0], r8[:, 1], r8[:, 2],
+                               r8[:, 3], r8[:, 4], r8[:, 5],
+                               r8[:, 7], r8[:, 6])
         init = ((live & (s4[:, 3] > 0)).astype(jnp.int32),
                 s4[:, 0], s4[:, 1], s4[:, 2], best_t, best_lin,
                 jnp.int32(0))
         dact, _, _, _, best_t, best_lin, _ = jax.lax.while_loop(
-            drain_cond, drain_body, init)
+            drain_cond, body, init)
         # retire the served rays (dact is 0 unless the impossible inner
         # cap bit); rays that overflowed cap_d keep act_i = 1 and the
         # next outer pass serves them
         act_i = act_i.at[sel].set(dact, mode="drop")
         return (act_i, cx, cy, cz, best_t, best_lin, outer + 1)
 
-    act_i, _, _, _, best_t, best_lin, _ = jax.lax.while_loop(
+    act_i, _, _, _, best_t, best_lin, laps = jax.lax.while_loop(
         outer_cond, outer_body,
-        (act_i, cx, cy, cz, best_t, best_lin, jnp.int32(0)))
+        (act_i, cx, cy, cz, best_t, best_lin, laps0))
     # unresolved is 0 unless an iteration cap bit (both caps are true
     # upper bounds, so this is a defensive invariant, not a drop path)
-    return best_t, best_lin, jnp.sum(act_i)
+    return best_t, best_lin, jnp.sum(act_i), laps
 
 
 def _tuned_chunk(accel, chunk):
@@ -709,7 +790,8 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
                     resident_frac=4, admit_frac=4, drain=True,
                     drain_frac=64, drain_k=8, cont_rounds=0, cont_k=8,
                     cont_frac=4, fine_unroll=13, fine_bq=None,
-                    fine_static=False, fine_ilp=1, return_stats=False):
+                    fine_static=False, fine_ilp=1, resident_groups=None,
+                    drain_hoist=1, return_stats=False):
     """(t, cell_lin) nearest voxel hit; same contract as trace_grid_dda.
 
     drain=True (default) makes the trace EXHAUSTIVE: rays still active
@@ -771,7 +853,7 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
     t_min_in = jnp.asarray(t_min, jnp.float32)
     if t_min_in.ndim:
         t_min_in = t_min_in.reshape(-1)
-    t, lin, unresolved = _trace_fast_impl(
+    t, lin, unresolved, laps = _trace_fast_impl(
         o, d, accel, t_min_in, t_max_b, admit_f,
         accel_static=(accel.bdims, accel.origin_key, accel.voxel_size,
                       accel.dims),
@@ -780,7 +862,14 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
         resident_frac=resident_frac, admit_frac=admit_frac, drain=drain,
         drain_frac=drain_frac, drain_k=drain_k, cont_rounds=cont_rounds,
         cont_k=cont_k, cont_frac=cont_frac, fine_unroll=fine_unroll,
-        fine_bq=fine_bq, fine_static=fine_static, fine_ilp=fine_ilp)
+        fine_bq=fine_bq, fine_static=fine_static, fine_ilp=fine_ilp,
+        resident_groups=resident_groups, drain_hoist=drain_hoist)
+    if return_stats == "full":
+        # laps = drain outer-loop iteration count (each lap pays a
+        # full-width compaction inside a while body — the profiling
+        # counter that attributes shadow-pass drain cost)
+        return (t.reshape(batch_shape), lin.reshape(batch_shape),
+                unresolved, laps)
     if return_stats:
         return (t.reshape(batch_shape), lin.reshape(batch_shape),
                 unresolved)
@@ -791,7 +880,9 @@ def any_hit_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
                       t_max=TMAX, rounds=1, chunk=64, fine="walk",
                       admit=None, k_hits=4, two_level=None,
                       resident_frac=2, admit_frac=8, fine_frac=None,
-                      cont_rounds=0, cont_k=8, cont_frac=4):
+                      cont_rounds=0, cont_k=8, cont_frac=4,
+                      drain_frac=64, drain_k=8, resident_groups=None,
+                      drain_hoist=1):
     """True where some voxel accepts along the ray (shadow query).
 
     rounds=1 x k_hits=4 + the exhaustiveness drain is the round-3 sweep
@@ -829,5 +920,8 @@ def any_hit_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
                            two_level=two_level,
                            resident_frac=resident_frac,
                            admit_frac=admit_frac, cont_rounds=cont_rounds,
-                           cont_k=cont_k, cont_frac=cont_frac)
+                           cont_k=cont_k, cont_frac=cont_frac,
+                           drain_frac=drain_frac, drain_k=drain_k,
+                           resident_groups=resident_groups,
+                           drain_hoist=drain_hoist)
     return jnp.isfinite(t)

@@ -148,7 +148,7 @@ def _voxel_center_of_hit(scene: Scene, hit_id, backend):
 
 
 def _any_hit(scene: Scene, origins, dirs, t_min, t_max, backend,
-             admit=None, fast_opts=()):
+             admit=None, fast_opts=(), shadow_opts=()):
     occluded = jnp.zeros(origins.shape[:-1], bool)
     if scene.n_triangles:
         if scene.tri_accel is not None:
@@ -168,14 +168,18 @@ def _any_hit(scene: Scene, origins, dirs, t_min, t_max, backend,
         # shadow coverage (k_hits x rounds) has its own defaults — only
         # the cost/layout knobs flow through from fast_opts (a rounds
         # override tuned for the nearest-trace would silently change
-        # which pixels count as occluded)
+        # which pixels count as occluded).  shadow_opts is the explicit
+        # any-hit tuning surface (round-4: the shadow pass is
+        # drain-bound on long unoccluded walks, its optimum differs
+        # from the nearest-trace's).
         occluded |= any_hit_grid_fast(origins, dirs, scene.accel,
                                       t_min=t_min, t_max=t_max,
                                       admit=admit,
                                       **{k: v for k, v in dict(
                                           fast_opts).items()
                                          if k in ("chunk", "fine",
-                                                  "two_level")})
+                                                  "two_level")},
+                                      **dict(shadow_opts))
     elif backend == "dda" and scene.occ_flat.shape[0] > 0:
         occluded |= any_hit_grid_dda(
             origins, dirs, scene.occ_flat, scene.grid_origin,
@@ -190,7 +194,8 @@ def _any_hit(scene: Scene, origins, dirs, t_min, t_max, backend,
 def render_rays(scene: Scene, origins, dirs, light_position,
                 light_intensity, light_type, clear_color, *,
                 backend="dda", t_min=TMIN, t_max=TMAX, shadows=True,
-                fast_opts=(), trace_voxels_fn=None, any_hit_fn=None):
+                fast_opts=(), shadow_opts=(), trace_voxels_fn=None,
+                any_hit_fn=None):
     """Trace + shade a ray batch; returns linear-space RGB (..., 3).
 
     trace_voxels_fn / any_hit_fn: optional overrides for the voxel
@@ -278,7 +283,8 @@ def render_rays(scene: Scene, origins, dirs, light_position,
             shadowed = any_hit_fn(world_pos, l_vec, TMIN, light_dist)
         else:
             shadowed = _any_hit(scene, world_pos, l_vec, TMIN, light_dist,
-                                backend, admit=admit, fast_opts=fast_opts)
+                                backend, admit=admit, fast_opts=fast_opts,
+                                shadow_opts=shadow_opts)
         shadowed = jnp.where(facing, shadowed, True)  # traced when facing
     else:
         # shadows disabled: every facing surface counts as lit
@@ -327,11 +333,11 @@ def _untile_rays(x, height, width):
 @functools.partial(
     jax.jit,
     static_argnames=("scene_static", "width", "height", "backend",
-                     "shadows", "fast_opts"),
+                     "shadows", "fast_opts", "shadow_opts"),
 )
 def _render_jit(scene, view_inv, proj_inv, light_position, light_intensity,
                 light_type, clear_color, *, scene_static, width, height,
-                backend, shadows, fast_opts=()):
+                backend, shadows, fast_opts=(), shadow_opts=()):
     origins, dirs = make_camera_rays(width, height, view_inv, proj_inv)
     tiled = backend == "fast" and _can_tile(height, width)
     if tiled:
@@ -339,7 +345,8 @@ def _render_jit(scene, view_inv, proj_inv, light_position, light_intensity,
         dirs = _tile_rays(dirs, height, width)
     rgb = render_rays(scene, origins, dirs, light_position, light_intensity,
                       light_type, clear_color, backend=backend,
-                      shadows=shadows, fast_opts=fast_opts)
+                      shadows=shadows, fast_opts=fast_opts,
+                      shadow_opts=shadow_opts)
     if tiled:
         rgb = _untile_rays(rgb, height, width)
     rgba = jnp.concatenate([rgb, jnp.ones(rgb.shape[:-1] + (1,),
@@ -373,19 +380,25 @@ def _check_dda_budget(scene: Scene, backend, width, height):
 
 def render_image(scene: Scene, view_inv, proj_inv, *, width, height,
                  light: Light = Light(), clear_color=(1.0, 1.0, 1.0, 1.0),
-                 backend="dda", shadows=True, fast_opts=None):
+                 backend="dda", shadows=True, fast_opts=None,
+                 shadow_opts=None):
     """Framebuffer (H, W, 4) float32, gamma-corrected.
 
     fast_opts: optional dict of trace_grid_fast tuning knobs (rounds,
     chunk, k_hits, fine_frac, two_level, ...) applied when
-    backend="fast"; hashed into the jit key.
+    backend="fast"; hashed into the jit key.  shadow_opts: optional dict
+    of any_hit_grid_fast knobs for the shadow pass (k_hits, rounds,
+    admit_frac, resident_frac, drain_k, ... — the occlusion result is
+    exact for ANY values: the drain serves whatever the static coverage
+    misses).
     """
     _check_dda_budget(scene, backend, width, height)
     # normalize list values (k_hits=[8, 4] etc.) to tuples: opts is part
     # of the jit key and must be hashable (ADVICE r2 item 4)
-    opts = tuple(sorted(
-        (k, tuple(v) if isinstance(v, list) else v)
-        for k, v in fast_opts.items())) if fast_opts else ()
+    def _norm(d):
+        return tuple(sorted(
+            (k, tuple(v) if isinstance(v, list) else v)
+            for k, v in d.items())) if d else ()
     return _render_jit(
         scene, jnp.asarray(view_inv), jnp.asarray(proj_inv),
         jnp.asarray(light.position, jnp.float32),
@@ -393,7 +406,7 @@ def render_image(scene: Scene, view_inv, proj_inv, *, width, height,
         jnp.asarray(clear_color, jnp.float32),
         scene_static=(scene.grid_dims, scene.grid_voxel_size),
         width=width, height=height, backend=backend, shadows=shadows,
-        fast_opts=opts,
+        fast_opts=_norm(fast_opts), shadow_opts=_norm(shadow_opts),
     )
 
 
