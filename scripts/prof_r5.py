@@ -572,6 +572,107 @@ def main():
              resolved_k5=int(r5_), resolved_slot0_only=int(r1_),
              phaseB_survivors=int(sv), fcap=int(fcap))
 
+    if "J" in stages:
+        # drain attribution (H/I round-4 finding: take+fine isolated =
+        # 13 ms, staged-F's "fine +34 ms" was an XLA-fusion artifact;
+        # the unaccounted ~18 ms of the 52.7 ms default trace points at
+        # the drain).  drain=False is NOT exhaustive — attribution only.
+        ssets = shadow_sets()
+        # (first J run measured: default 53.1, nodrain 49.2 — drain costs
+        # only ~4 ms; cont1_k8 70, cont1_k12 64, cont2_k8 75, dfrac16 144
+        # — all mini-round/drain-domain variants lose)
+        variants = [
+            ("dfrac128", dict(drain_hoist=0, drain_frac=128)),
+            ("dk16", dict(drain_hoist=0, drain_k=16)),
+            ("ff8", dict(drain_hoist=0, fine_frac=8)),
+            ("ff8_cont1", dict(drain_hoist=0, fine_frac=8,
+                               cont_rounds=1, cont_k=8)),
+            ("k4", dict(drain_hoist=0, k_hits=4, fine_frac=4)),
+            ("k3", dict(drain_hoist=0, k_hits=3, fine_frac=3)),
+        ]
+        for name, kv in variants:
+            tr = jax.jit(lambda o, d, kv=kv: trace_grid_fast(
+                o, d, accel, return_stats=True, **kv))
+            ms = pipe(tr, rays)
+            t0, _, unres = tr(*rays[0])
+            emit(stage="J", what=f"trace_{name}", ms=round(ms, 2),
+                 hits=int(np.isfinite(np.asarray(t0)).sum()),
+                 unresolved=int(unres))
+        # width scaling: fixed overhead vs width-proportional split (the
+        # ~20 ms gap between staged-component sums and the whole trace)
+        for frac, name in ((2, "half"), (4, "quarter")):
+            m = (H * W) // frac
+            rays_f = [(o[:m], d[:m]) for o, d in rays]
+            tr = jax.jit(lambda o, d: trace_grid_fast(o, d, accel))
+            ms = pipe(tr, rays_f)
+            t0 = tr(*rays_f[0])[0]
+            emit(stage="J", what=f"trace_{name}", ms=round(ms, 2),
+                 hits=int(np.isfinite(np.asarray(t0)).sum()))
+        # shadow any-hit drain attribution (same idea; occl must match
+        # 42567 except nodrain)
+        for name, kv in [
+            ("default", dict(drain_hoist=0)),
+            ("nodrain", dict(drain_hoist=0, drain=False)),
+            ("cont1_k8", dict(drain_hoist=0, cont_rounds=1, cont_k=8)),
+            ("cont2_k8", dict(drain_hoist=0, cont_rounds=2, cont_k=8,
+                              cont_frac=8)),
+            ("k6_cont1", dict(drain_hoist=0, k_hits=6, cont_rounds=1,
+                              cont_k=8)),
+        ]:
+            kh = kv.pop("k_hits", 4)
+
+            def ah(p, ld, adm, kv=kv, kh=kh):
+                t, _, unres = trace_grid_fast(
+                    p, ld, accel, admit=adm, k_hits=kh,
+                    fine_frac=(1,), resident_frac=2, admit_frac=8,
+                    return_stats=True, **kv)
+                return jnp.isfinite(t), unres
+            fn = jax.jit(ah)
+            ms = pipe(fn, ssets)
+            occ0, unres = fn(*ssets[0])
+            emit(stage="J", what=f"ah_{name}", ms=round(ms, 2),
+                 occl=int(np.asarray(occ0).sum()), unresolved=int(unres))
+
+    if "S" in stages:
+        # gate for the sort+paint voxelize design: lax.sort cost on the
+        # FULL padded lin stream (misses = n_cells sentinel sort to the
+        # tail), plus the stream materialization cost
+        from voxelray_tpu.ops.voxelize import _chunk_hits
+        nxd, nyd, nzd = plan.dims
+        n_cells = nxd * nyd * nzd
+        vsf = jnp.float32(plan.voxel_size)
+        halff = jnp.float32(plan.voxel_size * 0.5)
+        orgd = jnp.asarray(plan.origin, jnp.float32)
+        vdevs = [jnp.asarray(v) * (1.0 + 1e-6 * i) for i in range(6)]
+        jax.block_until_ready(vdevs)
+
+        def lin_stream(vd):
+            tri_all = vd[plan.faces_sorted]
+            parts = []
+            for off, cnt, win, chunk in plan.layout:
+                tri = jax.lax.slice_in_dim(tri_all, off, off + cnt)
+                f_total = tri.shape[0]
+                n_chunks = max(1, -(-f_total // chunk))
+                padn = n_chunks * chunk - f_total
+                trip = jnp.pad(tri, ((0, padn), (0, 0), (0, 0)),
+                               constant_values=np.inf)
+                tc = trip.reshape(n_chunks, chunk, 3, 3)
+                for c in range(n_chunks):
+                    hit, lin, _ = _chunk_hits(tc[c], orgd, vsf, halff,
+                                              plan.dims, win)
+                    parts.append(jnp.where(hit, lin, n_cells).reshape(-1))
+            return jnp.concatenate(parts)
+
+        fn_m = jax.jit(lambda vd: lin_stream(vd)[::4096].sum())
+        ms = pipe(fn_m, [(vd,) for vd in vdevs])
+        emit(stage="S", what="stream_materialize", ms=round(ms, 2),
+             lanes=int(fn_m(vdevs[0]).size) and None)
+        fn_s = jax.jit(lambda vd: jax.lax.sort(lin_stream(vd))[::4096]
+                       .sum())
+        ms_s = pipe(fn_s, [(vd,) for vd in vdevs])
+        emit(stage="S", what="stream_sorted", ms=round(ms_s, 2),
+             sort_marginal=round(ms_s - ms, 2))
+
     if "D" in stages:
         # voxelize: full vs count_only (scatter marginal).  Vary vertices
         # per dispatch (tiny deform) so the runtime can't coalesce.

@@ -268,7 +268,7 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
                      drain=True, drain_frac=64, drain_k=8,
                      cont_rounds=0, cont_k=8, cont_frac=4,
                      fine_unroll=13, fine_bq=None, fine_static=False,
-                     fine_ilp=1, resident_groups=None, drain_hoist=1):
+                     fine_ilp=1, resident_groups=None, drain_hoist=0):
     n = o.shape[0]
     cx, cy, cz, active = _init_state(
         o, d, accel, t_max,
@@ -719,17 +719,16 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
 
     laps0 = jnp.int32(0)
     if drain_hoist:
-        # HOISTED first lap (round-4): the outer while below compacts
-        # at FULL width inside its body, where gathers/scatters run
-        # ~40x slower on this TPU — and the bench scene measures
-        # laps=1 on EVERY frame (primary and shadow), so that cost is
-        # always paid.  Running lap 1 as straight-line code (group
-        # compaction + `drain_hoist` unrolled drain steps + the inner
-        # while for stragglers) moves the common case out of the loop;
-        # the outer while remains the exact backstop for laps >= 2
-        # (dense scenes whose stragglers overflow cap_d).  Results are
-        # bit-identical: same updates, same drop-mode writes, only
-        # scheduling moves.
+        # HOISTED first lap (round-4 experiment, default OFF): run lap 1
+        # as straight-line code (group compaction + `drain_hoist`-1
+        # unrolled drain steps + the inner while), leaving the outer
+        # while as the laps>=2 backstop.  MEASURED ON CHIP a small
+        # REGRESSION (trace 52.7 -> 55.7 ms, any-hit 55.6 -> 57.1 at
+        # laps=1): the in-body compaction is NOT the slow path here, and
+        # the hoist duplicates the drain machinery.  Kept as a knob
+        # because results are bit-identical (same updates, same
+        # drop-mode writes, only scheduling moves) and other scenes may
+        # differ.
         sel_h, live_h, r8_h, s4_h = drain_compact(act_i, cx, cy, cz)
         body_h = make_drain_body(sel_h, r8_h[:, 0], r8_h[:, 1],
                                  r8_h[:, 2], r8_h[:, 3], r8_h[:, 4],
@@ -791,7 +790,7 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
                     drain_frac=64, drain_k=8, cont_rounds=0, cont_k=8,
                     cont_frac=4, fine_unroll=13, fine_bq=None,
                     fine_static=False, fine_ilp=1, resident_groups=None,
-                    drain_hoist=1, return_stats=False):
+                    drain_hoist=0, return_stats=False):
     """(t, cell_lin) nearest voxel hit; same contract as trace_grid_dda.
 
     drain=True (default) makes the trace EXHAUSTIVE: rays still active
@@ -882,7 +881,7 @@ def any_hit_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
                       resident_frac=2, admit_frac=8, fine_frac=None,
                       cont_rounds=0, cont_k=8, cont_frac=4,
                       drain_frac=64, drain_k=8, resident_groups=None,
-                      drain_hoist=1):
+                      drain_hoist=0):
     """True where some voxel accepts along the ray (shadow query).
 
     rounds=1 x k_hits=4 + the exhaustiveness drain is the round-3 sweep
