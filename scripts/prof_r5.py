@@ -673,6 +673,55 @@ def main():
         emit(stage="S", what="stream_sorted", ms=round(ms_s, 2),
              sort_marginal=round(ms_s - ms, 2))
 
+    if "D4" in stages:
+        # op-count hypothesis: production runs ~100 chunked scatter ops
+        # (94M lanes/s in context) vs the 153M lanes/s chained-loop rate.
+        # Concat every chunk's lin stream and scatter ONCE (and in 8 big
+        # ops) — isolates per-op overhead without compaction cost.
+        from voxelray_tpu.ops.voxelize import _chunk_hits
+        nxd, nyd, nzd = plan.dims
+        n_cells = nxd * nyd * nzd
+        vsf = jnp.float32(plan.voxel_size)
+        halff = jnp.float32(plan.voxel_size * 0.5)
+        orgd = jnp.asarray(plan.origin, jnp.float32)
+        vdevs = [jnp.asarray(v) * (1.0 + 1e-6 * i) for i in range(6)]
+        jax.block_until_ready(vdevs)
+
+        def lin_stream_d(vd):
+            tri_all = vd[plan.faces_sorted]
+            parts = []
+            for off, cnt, win, chunk in plan.layout:
+                tri = jax.lax.slice_in_dim(tri_all, off, off + cnt)
+                f_total = tri.shape[0]
+                n_chunks = max(1, -(-f_total // chunk))
+                padn = n_chunks * chunk - f_total
+                trip = jnp.pad(tri, ((0, padn), (0, 0), (0, 0)),
+                               constant_values=np.inf)
+                tc = trip.reshape(n_chunks, chunk, 3, 3)
+                for c in range(n_chunks):
+                    hit, lin, _ = _chunk_hits(tc[c], orgd, vsf, halff,
+                                              plan.dims, win)
+                    parts.append(jnp.where(hit, lin, n_cells).reshape(-1))
+            return jnp.concatenate(parts)
+
+        def vox_one(vd, n_ops=1):
+            s = lin_stream_d(vd)
+            L = s.shape[0]
+            step = -(-L // n_ops)
+            s = jnp.pad(s, (0, n_ops * step - L), constant_values=n_cells)
+            occ_acc = jnp.zeros((n_cells + 1,), jnp.uint8)
+            for i in range(n_ops):
+                part = jax.lax.slice_in_dim(s, i * step, (i + 1) * step)
+                occ_acc = occ_acc.at[part].set(
+                    jnp.uint8(1), mode="promise_in_bounds")
+            return occ_acc[:n_cells].sum(dtype=jnp.int32)
+
+        for n_ops in (1, 8):
+            fn = jax.jit(lambda vd, n=n_ops: vox_one(vd, n))
+            ms = pipe(fn, [(vd,) for vd in vdevs])
+            emit(stage="D4", what=f"scatter_{n_ops}op", ms=round(ms, 2),
+                 occupied=int(fn(vdevs[0])))
+
     if "D" in stages:
         # voxelize: full vs count_only (scatter marginal).  Vary vertices
         # per dispatch (tiny deform) so the runtime can't coalesce.
