@@ -633,6 +633,54 @@ def main():
             emit(stage="J", what=f"ah_{name}", ms=round(ms, 2),
                  occl=int(np.asarray(occ0).sum()), unresolved=int(unres))
 
+    if "E5" in stages:
+        # Round-4 second wave.  Isolated: self_admit round-1 compaction
+        # (only ~20% of rays enter the grid bbox at the bench
+        # viewpoints) x fine_frac; then IN-FRAME confirmation of the
+        # isolated winners (E taught: in-frame is the only truth for
+        # shadow knobs).
+        iso = [
+            ("ff8", dict(fine_frac=8)),
+            ("ff10", dict(fine_frac=10)),
+            ("ff12", dict(fine_frac=12)),
+            ("sa4_ff1", dict(self_admit=True, admit_frac=4,
+                             fine_frac=(1,))),
+            ("sa4_ff2", dict(self_admit=True, admit_frac=4,
+                             fine_frac=(2,))),
+            ("sa2_ff4", dict(self_admit=True, admit_frac=2,
+                             fine_frac=(4,))),
+        ]
+        for name, kv in iso:
+            tr = jax.jit(lambda o, d, kv=kv: trace_grid_fast(
+                o, d, accel, return_stats=True, **kv))
+            ms = pipe(tr, rays)
+            t0, _, unres = tr(*rays[0])
+            emit(stage="E5", what=f"trace_{name}", ms=round(ms, 2),
+                 hits=int(np.isfinite(np.asarray(t0)).sum()),
+                 unresolved=int(unres))
+
+        frames = [
+            ("base", None, None, True),
+            ("prim_ff8", dict(fine_frac=8), None, False),
+            ("prim_sa4_ff2", dict(self_admit=True, admit_frac=4,
+                                  fine_frac=[2]), None, False),
+            ("sh_nodrain", None, dict(drain=False), True),
+            ("sh_df128", None, dict(drain_frac=128), True),
+            ("sh_r2_rf128", None, dict(rounds=2, k_hits=[4, 8],
+                                       resident_frac=128,
+                                       fine_frac=[1, 1]), True),
+            ("ff8_both", dict(fine_frac=8), None, True),
+        ]
+        for name, fo, so, sh in frames:
+            def fr(scene, cvi, cpi, fo=fo, so=so, sh=sh):
+                return render_image(scene, cvi, cpi, width=W, height=H,
+                                    backend="fast", shadows=sh,
+                                    fast_opts=fo, shadow_opts=so)
+            ms = pipe(fr, [(scene, cvi, cpi) for cvi, cpi in mats])
+            img = np.asarray(fr(scene, *mats[0]))
+            emit(stage="E5", what=f"frame_{name}", ms=round(ms, 2),
+                 img_mean=round(float(img.mean()), 6))
+
     if "S" in stages:
         # gate for the sort+paint voxelize design: lax.sort cost on the
         # FULL padded lin stream (misses = n_cells sentinel sort to the

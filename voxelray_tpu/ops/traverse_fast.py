@@ -260,7 +260,7 @@ def _fine_resolve_block(o, d, brick_lin, t_max, accel, t_min):
                      "resident_frac", "drain", "drain_frac", "drain_k",
                      "cont_rounds", "cont_k", "cont_frac", "fine_unroll",
                      "fine_bq", "fine_static", "fine_ilp",
-                     "resident_groups", "drain_hoist"),
+                     "resident_groups", "drain_hoist", "self_admit"),
 )
 def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
                      rounds, chunk, fine="walk", k_hits=4, fine_frac=4,
@@ -268,13 +268,24 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
                      drain=True, drain_frac=64, drain_k=8,
                      cont_rounds=0, cont_k=8, cont_frac=4,
                      fine_unroll=13, fine_bq=None, fine_static=False,
-                     fine_ilp=1, resident_groups=None, drain_hoist=0):
+                     fine_ilp=1, resident_groups=None, drain_hoist=0,
+                     self_admit=False):
     n = o.shape[0]
     cx, cy, cz, active = _init_state(
         o, d, accel, t_max,
         t_min if getattr(t_min, 'ndim', 0) else None)
     if admit is not None:
         active = active & admit
+    elif self_admit:
+        # round-1 compaction on the init mask itself (round-4): at the
+        # bench viewpoints only ~20% of 1080p rays even enter the grid
+        # bbox, yet round 1 walks full width.  Treating the bbox-clip
+        # survivors as an admit set shrinks the round-1 resident domain
+        # to n/admit_frac with IDENTICAL results: admit == active is a
+        # no-op on the math, and viewpoints denser than 1/admit_frac
+        # overflow into later rounds/the drain (never dropped, never
+        # wrong — the standard resident-overflow contract).
+        admit = active
     best_t = jnp.full((n,), jnp.inf, jnp.float32)
     best_lin = jnp.full((n,), -1, jnp.int32)
     # PACKED ray/state rows.  Profiled on chip (round 2): HBM gathers
@@ -790,7 +801,7 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
                     drain_frac=64, drain_k=8, cont_rounds=0, cont_k=8,
                     cont_frac=4, fine_unroll=13, fine_bq=None,
                     fine_static=False, fine_ilp=1, resident_groups=None,
-                    drain_hoist=0, return_stats=False):
+                    drain_hoist=0, self_admit=False, return_stats=False):
     """(t, cell_lin) nearest voxel hit; same contract as trace_grid_dda.
 
     drain=True (default) makes the trace EXHAUSTIVE: rays still active
@@ -862,7 +873,8 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
         drain_frac=drain_frac, drain_k=drain_k, cont_rounds=cont_rounds,
         cont_k=cont_k, cont_frac=cont_frac, fine_unroll=fine_unroll,
         fine_bq=fine_bq, fine_static=fine_static, fine_ilp=fine_ilp,
-        resident_groups=resident_groups, drain_hoist=drain_hoist)
+        resident_groups=resident_groups, drain_hoist=drain_hoist,
+        self_admit=self_admit)
     if return_stats == "full":
         # laps = drain outer-loop iteration count (each lap pays a
         # full-width compaction inside a while body — the profiling
@@ -881,8 +893,14 @@ def any_hit_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
                       resident_frac=2, admit_frac=8, fine_frac=None,
                       cont_rounds=0, cont_k=8, cont_frac=4,
                       drain_frac=64, drain_k=8, resident_groups=None,
-                      drain_hoist=0):
+                      drain_hoist=0, drain=True):
     """True where some voxel accepts along the ray (shadow query).
+
+    drain=False is an ATTRIBUTION knob only: it skips the
+    exhaustiveness drain, so rays that cross more occupied bricks than
+    the static rounds cover are silently un-occluded — never use it for
+    a real image (the final static round is forced full-width in
+    _trace_fast_impl, limiting but not eliminating the loss).
 
     rounds=1 x k_hits=4 + the exhaustiveness drain is the round-3 sweep
     winner (61 ms vs 129 for round 2's k=(8,4) x r2 config at the full
@@ -922,5 +940,5 @@ def any_hit_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
                            cont_k=cont_k, cont_frac=cont_frac,
                            drain_frac=drain_frac, drain_k=drain_k,
                            resident_groups=resident_groups,
-                           drain_hoist=drain_hoist)
+                           drain_hoist=drain_hoist, drain=drain)
     return jnp.isfinite(t)
