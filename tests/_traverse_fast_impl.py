@@ -194,6 +194,9 @@ def test_two_level_walk_random_rays(setup):
     dict(fine_ilp=5),
     dict(fine_ilp=2, fine_bq=16),
     dict(k_hits=2, cont_rounds=1, cont_k=16),
+    dict(self_admit=True, admit_frac=4, fine_frac=(2,)),
+    # admit cap far below the active population: overflow -> drain
+    dict(self_admit=True, admit_frac=64, fine_frac=(1,)),
 ])
 def test_structural_knobs_same_result(setup, kv):
     """Every structural/perf knob of trace_grid_fast is result-invariant:
