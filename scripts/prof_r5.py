@@ -681,6 +681,156 @@ def main():
             emit(stage="E5", what=f"frame_{name}", ms=round(ms, 2),
                  img_mean=round(float(img.mean()), 6))
 
+    if "K2" in stages:
+        # SURGICAL attribution of the ff8 trace (round-4: isolated
+        # components sum to ~35 of the measured 46.5 ms — find the
+        # missing ~11).  Re-implements the round-1 ff8 body with each
+        # stage replaceable by a shape-identical INPUT (so XLA cannot
+        # dead-code the downstream): timing deltas between variants
+        # attribute stages IN CONTEXT, same dataflow, no staging
+        # materialization artifacts.  Results are not images — timing
+        # only (kill_* variants change values, never shapes).
+        import functools as _ft
+
+        from voxelray_tpu.ops.compact import compact_mask
+        from voxelray_tpu.ops.pallas.brick_fine import fine_walk_multi
+        from voxelray_tpu.ops.pallas.grid_walk import LANES, coarse_walk
+        from voxelray_tpu.ops.traverse_fast import (BRICK, _init_state,
+                                                    _tuned_chunk)
+
+        n = H * W
+        k_hits = 5
+        chunk = _tuned_chunk(accel, 64)
+        per_block = chunk * LANES
+        need = -(-n // 8)                       # fine_frac=8
+        fcap = -(-need // per_block) * per_block
+        G = 8
+        ng = n // G
+        gcap = fcap // G
+        bdims = accel.bdims
+        bx, by, bz = bdims
+        vs = accel.voxel_size
+        bw = float(vs * BRICK)
+        t_min = jnp.float32(0.001)
+        t_max = jnp.float32(10000.0)
+
+        def k2_trace(o, d, hits_in=None, words_in=None,
+                     kill_walk=False, kill_take=False, kill_fine=False,
+                     kill_compact=False):
+            cx, cy, cz, active = _init_state(o, d, accel, t_max)
+            ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+            dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+            tmx = jnp.broadcast_to(t_max, (n,))
+            tmn = jnp.broadcast_to(t_min, (n,))
+            if kill_walk:
+                hits = hits_in
+                cont = jnp.zeros((n,), jnp.int32)
+            else:
+                hits, ncx, ncy, ncz, cont = coarse_walk(
+                    ox, oy, oz, dx, dy, dz, cx, cy, cz,
+                    active.astype(jnp.int32), tmx, accel.coarse, accel.l2,
+                    bdims=bdims, origin_key=accel.origin_key,
+                    brick_world=bw, bq=chunk, k_hits=k_hits)
+            has = hits[0] >= 0
+            if kill_compact:
+                # fixed strided selection: no cumsum, no sel scatter
+                gsel_c = jnp.arange(gcap, dtype=jnp.int32) * (ng // gcap)
+                glive = jnp.ones((gcap,), bool)
+            else:
+                has_g = has.reshape(ng, G).any(axis=1)
+                gsel, glive, gsel_c, gpos = compact_mask(has_g, gcap, ng)
+            lane = jnp.arange(G, dtype=jnp.int32)
+            flive = jnp.broadcast_to(glive[:, None], (gcap, G)).reshape(-1)
+            bricks_c = jnp.where(
+                glive[None, :, None],
+                jnp.take(hits.reshape(k_hits, ng, G), gsel_c, axis=1),
+                -1).reshape(k_hits, fcap)
+            r7 = jnp.stack([ox, oy, oz, dx, dy, dz, tmx, tmn], axis=1) \
+                .reshape(ng, G * 8)[gsel_c].reshape(fcap, 8)
+            if kill_take:
+                # words from input: the (16, k*fcap) gather replaced
+                words = words_in
+            else:
+                bl = jnp.maximum(bricks_c, 0).reshape(-1)
+                words = jnp.take(accel.fine, bl, axis=1) \
+                    .reshape(16, k_hits, fcap).transpose(1, 0, 2)
+            if kill_fine:
+                # consume words + bricks with cheap vector math (keeps
+                # both live; no Pallas dispatch)
+                wsum = words.sum(axis=(0, 1)).astype(jnp.int32)
+                t_c = jnp.where((bricks_c[0] >= 0) & (wsum > 0),
+                                jnp.float32(1.0), jnp.inf)
+                lin_c = jnp.where(jnp.isfinite(t_c), wsum, -1)
+            else:
+                t_c, lin_c = fine_walk_multi(
+                    r7[:, 0], r7[:, 1], r7[:, 2], r7[:, 3], r7[:, 4],
+                    r7[:, 5], bricks_c, words, r7[:, 7], r7[:, 6],
+                    dims=accel.dims, bdims=bdims,
+                    origin_key=accel.origin_key, voxel_size=vs, bq=32,
+                    unroll=13)
+            if kill_compact:
+                fsel = (gsel_c[:, None] * G + lane).reshape(-1)
+            else:
+                fsel = jnp.where(glive[:, None], gsel[:, None] * G + lane,
+                                 n).reshape(-1)
+            t = jnp.full((n,), jnp.inf, jnp.float32).at[fsel].set(
+                t_c, mode="drop")
+            lin = jnp.full((n,), -1, jnp.int32).at[fsel].set(
+                lin_c, mode="drop")
+            return t.sum(), (lin != -1).sum()
+
+        # REAL stand-in inputs captured per frame (shape-identical AND
+        # work-identical downstream — constants would skew the candidate
+        # population the killed stage feeds)
+        @jax.jit
+        def cap_hits(o, d):
+            cx, cy, cz, active = _init_state(o, d, accel, t_max)
+            hits, *_ = coarse_walk(
+                o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+                cx, cy, cz, active.astype(jnp.int32),
+                jnp.broadcast_to(t_max, (n,)), accel.coarse, accel.l2,
+                bdims=bdims, origin_key=accel.origin_key,
+                brick_world=bw, bq=chunk, k_hits=k_hits)
+            return hits
+
+        @jax.jit
+        def cap_words(hits):
+            has_g = (hits[0] >= 0).reshape(ng, G).any(axis=1)
+            _, glive, gsel_c, _ = compact_mask(has_g, gcap, ng)
+            bricks_c = jnp.where(
+                glive[None, :, None],
+                jnp.take(hits.reshape(k_hits, ng, G), gsel_c, axis=1),
+                -1).reshape(k_hits, fcap)
+            bl = jnp.maximum(bricks_c, 0).reshape(-1)
+            return jnp.take(accel.fine, bl, axis=1) \
+                .reshape(16, k_hits, fcap).transpose(1, 0, 2)
+
+        hits_const = [cap_hits(o, d) for o, d in rays]
+        words_const = [cap_words(h) for h in hits_const]
+        jax.block_until_ready([hits_const, words_const])
+
+        variants = [
+            ("full", dict()),
+            ("kill_walk", dict(kill_walk=True)),
+            ("kill_take", dict(kill_take=True)),
+            ("kill_fine", dict(kill_fine=True)),
+            ("kill_take_fine", dict(kill_take=True, kill_fine=True)),
+            ("kill_compact", dict(kill_compact=True)),
+        ]
+        for name, kv in variants:
+            if kv.get("kill_walk"):
+                fn = jax.jit(_ft.partial(k2_trace, **kv))
+                inputs = [(o, d, h) for (o, d), h in zip(rays, hits_const)]
+            elif kv.get("kill_take") and not kv.get("kill_fine"):
+                fn = jax.jit(lambda o, d, w, kv=kv: k2_trace(
+                    o, d, words_in=w, **kv))
+                inputs = [(o, d, w) for (o, d), w in zip(rays, words_const)]
+            else:
+                fn = jax.jit(_ft.partial(k2_trace, **kv))
+                inputs = rays
+            ms = pipe(fn, inputs)
+            emit(stage="K2", what=name, ms=round(ms, 2))
+
     if "S" in stages:
         # gate for the sort+paint voxelize design: lax.sort cost on the
         # FULL padded lin stream (misses = n_cells sentinel sort to the

@@ -796,7 +796,7 @@ def _tuned_chunk(accel, chunk):
 
 def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
                     t_max=TMAX, rounds=1, chunk=64, fine="walk",
-                    admit=None, k_hits=5, two_level=None, fine_frac=5,
+                    admit=None, k_hits=5, two_level=None, fine_frac=8,
                     resident_frac=4, admit_frac=4, drain=True,
                     drain_frac=64, drain_k=8, cont_rounds=0, cont_k=8,
                     cont_frac=4, fine_unroll=13, fine_bq=None,
@@ -819,11 +819,17 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
     2.07M candidate indices (stage-K in-jit rates), while the compacted
     drain serves the ~7% stragglers far cheaper.  drain_frac=64
     measured best (16 was 1.8x worse: an oversized drain domain re-pays
-    full-width glue).  fine_frac=5 (not 8) since the group-compaction
-    rework: candidates compact at GROUP granularity (8 consecutive
-    tiled rays), which inflates the population the fine buffer must
-    hold — ff8's buffer overflowed into drain passes on the full preset
-    (83.2 ms) while ff5 holds everything (74.3 ms, stage G).
+    full-width glue; 128 also worse).  fine_frac=8 is the round-4
+    re-sweep winner (46.5 ms vs 53.1 for round 3's ff5 at the bench
+    preset, identical hits, unresolved=0): the drain got cheap enough
+    (~4 ms/lap) that a smaller fine buffer — whose overflow rewinds
+    into the drain — beats paying the k x fcap take at ff5 width.
+    ff10 measured marginally better (45.8) but sits closer to the
+    overflow cliff on candidate-dense viewpoints; ff12 already loses
+    (47.9).  self_admit=True (round-1 compaction on the bbox clip) was
+    measured and LOSES (68-93 ms): a compacted round pays ~6 write-back
+    scatters over its domain at the ~153M lanes/s scatter wall — more
+    than the full-width walk it saves.  Keep round 1 full-width.
 
     cont_rounds=C runs C continuation mini-rounds INSIDE the compacted
     candidate domain before handing stragglers to the drain: unresolved
