@@ -716,7 +716,7 @@ def main():
 
         def k2_trace(o, d, hits_in=None, words_in=None,
                      kill_walk=False, kill_take=False, kill_fine=False,
-                     kill_compact=False):
+                     kill_compact=False, kill_out=False):
             cx, cy, cz, active = _init_state(o, d, accel, t_max)
             ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
             dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
@@ -756,8 +756,12 @@ def main():
                     .reshape(16, k_hits, fcap).transpose(1, 0, 2)
             if kill_fine:
                 # consume words + bricks with cheap vector math (keeps
-                # both live; no Pallas dispatch)
-                wsum = words.sum(axis=(0, 1)).astype(jnp.int32)
+                # both live; no Pallas dispatch).  With kill_take too,
+                # no words exist — consume bricks only.
+                if kill_take and words_in is None:
+                    wsum = bricks_c.sum(axis=0)
+                else:
+                    wsum = words.sum(axis=(0, 1)).astype(jnp.int32)
                 t_c = jnp.where((bricks_c[0] >= 0) & (wsum > 0),
                                 jnp.float32(1.0), jnp.inf)
                 lin_c = jnp.where(jnp.isfinite(t_c), wsum, -1)
@@ -768,16 +772,27 @@ def main():
                     dims=accel.dims, bdims=bdims,
                     origin_key=accel.origin_key, voxel_size=vs, bq=32,
                     unroll=13)
+            if kill_out:
+                # skip the fcap->n result scatters; pad to full width
+                # with a reshape-free concat so outputs keep (n,) shape
+                t = jnp.concatenate(
+                    [t_c, jnp.full((n - fcap,), jnp.inf, jnp.float32)])
+                lin = jnp.concatenate(
+                    [lin_c, jnp.full((n - fcap,), -1, jnp.int32)])
+                return t, lin
             if kill_compact:
                 fsel = (gsel_c[:, None] * G + lane).reshape(-1)
             else:
                 fsel = jnp.where(glive[:, None], gsel[:, None] * G + lane,
                                  n).reshape(-1)
+            # FULL outputs (a reduction consumer lets XLA fold the
+            # scatters away — the first K2 run's 26.8 ms "full" was
+            # exactly that artifact)
             t = jnp.full((n,), jnp.inf, jnp.float32).at[fsel].set(
                 t_c, mode="drop")
             lin = jnp.full((n,), -1, jnp.int32).at[fsel].set(
                 lin_c, mode="drop")
-            return t.sum(), (lin != -1).sum()
+            return t, lin
 
         # REAL stand-in inputs captured per frame (shape-identical AND
         # work-identical downstream — constants would skew the candidate
@@ -816,6 +831,7 @@ def main():
             ("kill_fine", dict(kill_fine=True)),
             ("kill_take_fine", dict(kill_take=True, kill_fine=True)),
             ("kill_compact", dict(kill_compact=True)),
+            ("kill_out", dict(kill_out=True)),
         ]
         for name, kv in variants:
             if kv.get("kill_walk"):
