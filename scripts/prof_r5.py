@@ -847,6 +847,30 @@ def main():
             ms = pipe(fn, inputs)
             emit(stage="K2", what=name, ms=round(ms, 2))
 
+    if "K3" in stages:
+        # K2's replicated core (init+walk+compact+take+fine+out) runs
+        # 26.7 ms vs production's 46.5 at identical ff8/k5 — split the
+        # ~16 ms of "extras": drain load at ff8 (overflow population
+        # grew vs ff5), stats, rewind/ovf glue.
+        variants = [
+            ("ff8_stats_full", dict(), "full"),
+            ("ff8_nodrain", dict(drain=False), True),
+            ("ff6", dict(fine_frac=6), "full"),
+            ("ff8_df32", dict(drain_frac=32), "full"),
+            ("ff8_dh2", dict(drain_hoist=2), True),
+        ]
+        for name, kv, stats in variants:
+            tr = jax.jit(lambda o, d, kv=kv, stats=stats: trace_grid_fast(
+                o, d, accel, return_stats=stats, **kv))
+            ms = pipe(tr, rays)
+            out = tr(*rays[0])
+            rec = dict(stage="K3", what=f"trace_{name}", ms=round(ms, 2),
+                       hits=int(np.isfinite(np.asarray(out[0])).sum()),
+                       unresolved=int(out[2]))
+            if stats == "full":
+                rec["laps"] = int(out[3])
+            emit(**rec)
+
     if "S" in stages:
         # gate for the sort+paint voxelize design: lax.sort cost on the
         # FULL padded lin stream (misses = n_cells sentinel sort to the

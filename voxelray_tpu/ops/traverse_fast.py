@@ -576,8 +576,20 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
             + [cap_up(-(-n // (resident_frac * 4)))] * max(0, rounds - 4)
 
     GR = 8
+    # CHAINED-DRAIN state (round-4): when the single static round runs
+    # compacted (the admit/shadow path), its post-round state is kept in
+    # the cap-sized domain and handed to the drain DIRECTLY — the 4
+    # domain->full state write-back scatters (~6.8 ms at cap=261k on
+    # chip: scatters price ~153M lanes/s) and the drain's full-width
+    # re-compaction both disappear.  Rays that overflowed the admit cap
+    # never entered the domain; they keep their INIT state at full width
+    # and a separate full-width drain pass (zero iterations unless the
+    # admit buffer overflowed) serves them — the same never-dropped
+    # contract, so results are bit-identical to the unchained order.
+    chained = None
     for r in range(rounds):
         cap = caps[r]
+        chain_this = (rounds == 1 and cap < n and drain)
         if cap < n:
             use_groups = (resident_groups if resident_groups is not None
                           else (n % GR == 0 and cap % GR == 0))
@@ -596,7 +608,7 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
                 # results are bit-identical, only scheduling moves.
                 ng_r, gcap_r = n // GR, cap // GR
                 ga = act_i.reshape(ng_r, GR).max(axis=1)
-                gsel, glive, gsel_c, _ = compact_mask(ga, gcap_r, ng_r)
+                gsel, glive, gsel_c, gpos = compact_mask(ga, gcap_r, ng_r)
                 lane_r = jnp.arange(GR, dtype=jnp.int32)
                 sel = jnp.where(glive[:, None],
                                 gsel[:, None] * GR + lane_r,
@@ -607,8 +619,13 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
                 r8 = rays8.reshape(ng_r, GR * 8)[gsel_c].reshape(cap, 8)
                 s4 = jnp.stack([cx, cy, cz, act_i], axis=1) \
                     .reshape(ng_r, GR * 4)[gsel_c].reshape(cap, 4)
+                # full-width lanes NOT covered by this round's buffer
+                # (group overflowed the cap): the chained drain's
+                # backstop set
+                covered = jnp.repeat(gpos < gcap_r, GR)
             else:
-                sel, live, sel_c, _ = compact_mask(act_i, cap, n)
+                sel, live, sel_c, pos = compact_mask(act_i, cap, n)
+                covered = pos < cap
                 # packed ROW gathers (cheap) but scalar COLUMN
                 # write-backs: measured on chip a (cap, 4) row scatter
                 # costs 3x four 1-D scatters (45.7 vs 15.8 ms at full
@@ -629,16 +646,25 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
             sel_w = jnp.where(got, sel, n)
             best_t = best_t.at[sel_w].set(t, mode="drop")
             best_lin = best_lin.at[sel_w].set(lin, mode="drop")
-            # state write-back runs for EVERY round (the drain and the
-            # unresolved count both need post-final-round state); rays
-            # that did not fit this round's resident buffer keep their
-            # stale-but-valid state and act_i=1, so the drain serves them
             new_act = (s4[:, 3] > 0) & ~got & (cont_s > 0) & live
-            cx = cx.at[sel].set(scx, mode="drop")
-            cy = cy.at[sel].set(scy, mode="drop")
-            cz = cz.at[sel].set(scz, mode="drop")
-            act_i = act_i.at[sel].set(new_act.astype(jnp.int32),
-                                      mode="drop")
+            if chain_this:
+                # keep the post-round state IN THE DOMAIN for the
+                # chained drain; full-width act_i shrinks to the
+                # admit-overflow set (init state still valid there)
+                chained = (new_act.astype(jnp.int32), scx, scy, scz,
+                           r8, sel)
+                act_i = act_i * (1 - covered.astype(jnp.int32))
+            else:
+                # state write-back runs for EVERY round (the drain and
+                # the unresolved count both need post-final-round
+                # state); rays that did not fit this round's resident
+                # buffer keep their stale-but-valid state and act_i=1,
+                # so the drain serves them
+                cx = cx.at[sel].set(scx, mode="drop")
+                cy = cy.at[sel].set(scy, mode="drop")
+                cz = cz.at[sel].set(scz, mode="drop")
+                act_i = act_i.at[sel].set(new_act.astype(jnp.int32),
+                                          mode="drop")
         else:
             act = act_i > 0
             t, lin, ncx, ncy, ncz, cont = one_round(
@@ -675,58 +701,105 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
     cap_d = cap_up(-(-n // drain_frac))
     bxx, byy, bzz = bdims
     max_iters = (bxx + byy + bzz + 3 + drain_k - 1) // drain_k + 1
-    outer_cap = -(-n // cap_d) + 1
 
-    def drain_compact(act_i, cx, cy, cz):
-        """Compact active rays into the cap_d drain domain (the same
-        group-of-8 trick as the resident rounds when shapes allow — the
-        full-width per-ray scatter is the drain's fixed cost)."""
-        if n % 8 == 0 and cap_d % 8 == 0:
-            ng_d, gcap_d = n // 8, cap_d // 8
-            ga = act_i.reshape(ng_d, 8).max(axis=1)
-            gsel, glive, gsel_c, _ = compact_mask(ga, gcap_d, ng_d)
-            lane_d = jnp.arange(8, dtype=jnp.int32)
-            sel = jnp.where(glive[:, None], gsel[:, None] * 8 + lane_d,
-                            n).reshape(-1)
-            sel_c = jnp.minimum(sel, n - 1)
-            live = jnp.broadcast_to(glive[:, None], (gcap_d, 8)) \
-                .reshape(-1)
-            r8 = rays8.reshape(ng_d, 64)[gsel_c].reshape(cap_d, 8)
-            s4 = jnp.stack([cx, cy, cz, act_i], axis=1) \
-                .reshape(ng_d, 32)[gsel_c].reshape(cap_d, 4)
-        else:
-            sel, live, sel_c, _ = compact_mask(act_i, cap_d, n)
-            r8 = rays8[sel_c]
-            s4 = jnp.stack([cx, cy, cz, act_i], axis=1)[sel_c]
-        return sel, live, r8, s4
+    def make_drain(m_s, rays8_s, idx_map, cap_ds):
+        """Drain machinery over a SOURCE DOMAIN of m_s lanes.
 
-    def make_drain_body(sel, dox, doy, doz, ddx, ddy, ddz, dtmn, dtmx):
-        def drain_body(dst):
-            dact, dcx, dcy, dcz, bt, bl, it = dst
-            hits, ncx, ncy, ncz, cont = coarse_walk(
-                dox, doy, doz, ddx, ddy, ddz, dcx, dcy, dcz,
-                dact, dtmx, accel.coarse, accel.l2 if use_l2 else None,
-                bdims=bdims, origin_key=origin_key, brick_world=bw,
-                bq=chunk, k_hits=drain_k)
-            bricks_c = jnp.where((dact > 0)[None, :], hits, -1)
-            bl_idx = jnp.maximum(bricks_c, 0).reshape(-1)
-            words = jnp.take(accel.fine, bl_idx, axis=1)
-            words = words.reshape(16, drain_k, cap_d).transpose(1, 0, 2)
-            t_c, lin_c = fine_walk_multi(
-                dox, doy, doz, ddx, ddy, ddz, bricks_c, words, dtmn,
-                dtmx, dims=accel_static_dims, bdims=bdims,
-                origin_key=origin_key, voxel_size=vs,
-                bq=fine_bq or chunk, unroll=fine_unroll)
-            got = jnp.isfinite(t_c) & (dact > 0)
-            idx = jnp.where(got, sel, n)
-            bt = bt.at[idx].set(t_c, mode="drop")
-            bl = bl.at[idx].set(lin_c, mode="drop")
-            ndact = ((dact > 0) & ~got & (cont > 0)).astype(jnp.int32)
-            return (ndact, ncx, ncy, ncz, bt, bl, it + 1)
-        return drain_body
+        idx_map (int32[m_s] or None) maps source lanes to full-width
+        ray indices for the best_t/best_lin writes (None = the domain
+        IS full width).  The chained shadow/admit path hands the drain
+        its round-1 domain directly, skipping the full-width state
+        write-backs + re-compaction."""
 
-    def drain_cond(dst):
-        return jnp.logical_and(jnp.any(dst[0] > 0), dst[6] < max_iters)
+        def drain_compact(act_s, cx_s, cy_s, cz_s):
+            """Compact active rays into the cap_ds drain domain (the
+            same group-of-8 trick as the resident rounds when shapes
+            allow — the per-lane scatter over the source domain is the
+            drain's fixed cost)."""
+            if m_s % 8 == 0 and cap_ds % 8 == 0:
+                ng_d, gcap_d = m_s // 8, cap_ds // 8
+                ga = act_s.reshape(ng_d, 8).max(axis=1)
+                gsel, glive, gsel_c, _ = compact_mask(ga, gcap_d, ng_d)
+                lane_d = jnp.arange(8, dtype=jnp.int32)
+                sel = jnp.where(glive[:, None],
+                                gsel[:, None] * 8 + lane_d,
+                                m_s).reshape(-1)
+                sel_c = jnp.minimum(sel, m_s - 1)
+                live = jnp.broadcast_to(glive[:, None], (gcap_d, 8)) \
+                    .reshape(-1)
+                r8 = rays8_s.reshape(ng_d, 64)[gsel_c].reshape(cap_ds, 8)
+                s4 = jnp.stack([cx_s, cy_s, cz_s, act_s], axis=1) \
+                    .reshape(ng_d, 32)[gsel_c].reshape(cap_ds, 4)
+            else:
+                sel, live, sel_c, _ = compact_mask(act_s, cap_ds, m_s)
+                r8 = rays8_s[sel_c]
+                s4 = jnp.stack([cx_s, cy_s, cz_s, act_s], axis=1)[sel_c]
+            return sel, live, r8, s4
+
+        def make_drain_body(sel, sel_full, dox, doy, doz, ddx, ddy, ddz,
+                            dtmn, dtmx):
+            def drain_body(dst):
+                dact, dcx, dcy, dcz, bt, bl, it = dst
+                hits, ncx, ncy, ncz, cont = coarse_walk(
+                    dox, doy, doz, ddx, ddy, ddz, dcx, dcy, dcz,
+                    dact, dtmx, accel.coarse,
+                    accel.l2 if use_l2 else None,
+                    bdims=bdims, origin_key=origin_key, brick_world=bw,
+                    bq=chunk, k_hits=drain_k)
+                bricks_c = jnp.where((dact > 0)[None, :], hits, -1)
+                bl_idx = jnp.maximum(bricks_c, 0).reshape(-1)
+                words = jnp.take(accel.fine, bl_idx, axis=1)
+                words = words.reshape(16, drain_k, cap_ds) \
+                    .transpose(1, 0, 2)
+                t_c, lin_c = fine_walk_multi(
+                    dox, doy, doz, ddx, ddy, ddz, bricks_c, words, dtmn,
+                    dtmx, dims=accel_static_dims, bdims=bdims,
+                    origin_key=origin_key, voxel_size=vs,
+                    bq=fine_bq or chunk, unroll=fine_unroll)
+                got = jnp.isfinite(t_c) & (dact > 0)
+                idx = jnp.where(got, sel_full, n)
+                bt = bt.at[idx].set(t_c, mode="drop")
+                bl = bl.at[idx].set(lin_c, mode="drop")
+                ndact = ((dact > 0) & ~got & (cont > 0)) \
+                    .astype(jnp.int32)
+                return (ndact, ncx, ncy, ncz, bt, bl, it + 1)
+            return drain_body
+
+        def drain_cond(dst):
+            return jnp.logical_and(jnp.any(dst[0] > 0),
+                                   dst[6] < max_iters)
+
+        outer_cap_s = -(-m_s // cap_ds) + 1
+
+        def outer_cond(st):
+            return jnp.logical_and(jnp.any(st[0] > 0), st[6] < outer_cap_s)
+
+        def outer_body(st):
+            act_s, cx_s, cy_s, cz_s, best_t, best_lin, outer = st
+            sel, live, r8, s4 = drain_compact(act_s, cx_s, cy_s, cz_s)
+            if idx_map is None:
+                sel_full = sel
+            else:
+                sel_full = jnp.where(
+                    live, idx_map[jnp.minimum(sel, m_s - 1)], n)
+            body = make_drain_body(sel, sel_full, r8[:, 0], r8[:, 1],
+                                   r8[:, 2], r8[:, 3], r8[:, 4],
+                                   r8[:, 5], r8[:, 7], r8[:, 6])
+            init = ((live & (s4[:, 3] > 0)).astype(jnp.int32),
+                    s4[:, 0], s4[:, 1], s4[:, 2], best_t, best_lin,
+                    jnp.int32(0))
+            dact, _, _, _, best_t, best_lin, _ = jax.lax.while_loop(
+                drain_cond, body, init)
+            # retire the served rays; rays that overflowed cap_ds keep
+            # act_s = 1 and the next outer pass serves them
+            act_s = act_s.at[sel].set(dact, mode="drop")
+            return (act_s, cx_s, cy_s, cz_s, best_t, best_lin, outer + 1)
+
+        return drain_compact, make_drain_body, drain_cond, outer_cond, \
+            outer_body
+
+    (drain_compact, make_drain_body, drain_cond, _outer_cond_full,
+     _outer_body_full) = make_drain(n, rays8, None, cap_d)
 
     laps0 = jnp.int32(0)
     if drain_hoist:
@@ -741,7 +814,7 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
         # drop-mode writes, only scheduling moves) and other scenes may
         # differ.
         sel_h, live_h, r8_h, s4_h = drain_compact(act_i, cx, cy, cz)
-        body_h = make_drain_body(sel_h, r8_h[:, 0], r8_h[:, 1],
+        body_h = make_drain_body(sel_h, sel_h, r8_h[:, 0], r8_h[:, 1],
                                  r8_h[:, 2], r8_h[:, 3], r8_h[:, 4],
                                  r8_h[:, 5], r8_h[:, 7], r8_h[:, 6])
         st_h = ((live_h & (s4_h[:, 3] > 0)).astype(jnp.int32),
@@ -756,32 +829,32 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
         act_i = act_i.at[sel_h].set(dact_h, mode="drop")
         laps0 = jnp.int32(1)
 
-    def outer_cond(st):
-        return jnp.logical_and(jnp.any(st[0] > 0), st[6] < outer_cap)
-
-    def outer_body(st):
-        act_i, cx, cy, cz, best_t, best_lin, outer = st
-        sel, live, r8, s4 = drain_compact(act_i, cx, cy, cz)
-        body = make_drain_body(sel, r8[:, 0], r8[:, 1], r8[:, 2],
-                               r8[:, 3], r8[:, 4], r8[:, 5],
-                               r8[:, 7], r8[:, 6])
-        init = ((live & (s4[:, 3] > 0)).astype(jnp.int32),
-                s4[:, 0], s4[:, 1], s4[:, 2], best_t, best_lin,
-                jnp.int32(0))
-        dact, _, _, _, best_t, best_lin, _ = jax.lax.while_loop(
-            drain_cond, body, init)
-        # retire the served rays (dact is 0 unless the impossible inner
-        # cap bit); rays that overflowed cap_d keep act_i = 1 and the
-        # next outer pass serves them
-        act_i = act_i.at[sel].set(dact, mode="drop")
-        return (act_i, cx, cy, cz, best_t, best_lin, outer + 1)
+    unresolved_dom = jnp.int32(0)
+    laps_chained = jnp.int32(0)
+    if chained is not None:
+        # CHAINED drain over the round-1 domain (no full-width state
+        # scatters, no full-width re-compaction): the sel map routes
+        # result writes to full width; admit-overflow rays are NOT in
+        # this domain — the full-width loop below serves them (zero
+        # iterations unless the admit buffer overflowed).
+        act_dom, dcx, dcy, dcz, r8_dom, idx_map = chained
+        m_dom = act_dom.shape[0]
+        cap_dd = min(cap_d, m_dom)
+        _, _, _, outer_cond_d, outer_body_d = make_drain(
+            m_dom, r8_dom, idx_map, cap_dd)
+        (act_dom, _, _, _, best_t, best_lin,
+         laps_chained) = jax.lax.while_loop(
+            outer_cond_d, outer_body_d,
+            (act_dom, dcx, dcy, dcz, best_t, best_lin, jnp.int32(0)))
+        unresolved_dom = jnp.sum(act_dom)
 
     act_i, _, _, _, best_t, best_lin, laps = jax.lax.while_loop(
-        outer_cond, outer_body,
+        _outer_cond_full, _outer_body_full,
         (act_i, cx, cy, cz, best_t, best_lin, laps0))
     # unresolved is 0 unless an iteration cap bit (both caps are true
     # upper bounds, so this is a defensive invariant, not a drop path)
-    return best_t, best_lin, jnp.sum(act_i), laps
+    return (best_t, best_lin, jnp.sum(act_i) + unresolved_dom,
+            laps + laps_chained)
 
 
 def _tuned_chunk(accel, chunk):
