@@ -871,6 +871,56 @@ def main():
                 rec["laps"] = int(out[3])
             emit(**rec)
 
+    if "K4" in stages:
+        # (a) off_unsafe: no drain with the caller's ff RESPECTED (K3
+        # taught drain=False forces the final round to ff1 — every
+        # earlier nodrain comparison measured a different pipeline);
+        # (b) pre-drain populations (debug stats) at ff8 vs ff5;
+        # (c) the chained admit->drain shadow numbers (e08e3db landed
+        # CPU-green but unmeasured on chip).
+        variants = [
+            ("ff8_drain", dict(), "debug"),
+            ("ff8_offunsafe", dict(drain="off_unsafe"), True),
+            ("ff5_drain", dict(fine_frac=5), "debug"),
+        ]
+        for name, kv, stats in variants:
+            tr = jax.jit(lambda o, d, kv=kv, stats=stats: trace_grid_fast(
+                o, d, accel, return_stats=stats, **kv))
+            ms = pipe(tr, rays)
+            out = tr(*rays[0])
+            rec = dict(stage="K4", what=f"trace_{name}", ms=round(ms, 2),
+                       hits=int(np.isfinite(np.asarray(out[0])).sum()),
+                       unresolved=int(out[2]))
+            if stats == "debug":
+                rec["laps"] = int(out[3])
+                rec["pre_drain"] = int(out[4])
+            emit(**rec)
+
+        ssets = shadow_sets()
+        ah = jax.jit(lambda p, ld, adm: any_hit_grid_fast(
+            p, ld, accel, admit=adm))
+        ms = pipe(ah, ssets)
+        occl = int(np.asarray(ah(*ssets[0])).sum())
+        emit(stage="K4", what="ah_chained", ms=round(ms, 2), occl=occl)
+        p, ld, adm = ssets[0]
+        out = jax.jit(lambda p, ld, adm: trace_grid_fast(
+            p, ld, accel, admit=adm, k_hits=4, fine_frac=(1,),
+            resident_frac=2, admit_frac=8,
+            return_stats="debug"))(p, ld, adm)
+        emit(stage="K4", what="shadow_chained_stats",
+             unresolved=int(out[2]), laps=int(out[3]),
+             pre_drain=int(out[4]),
+             occl=int(np.isfinite(np.asarray(out[0])).sum()))
+
+        for name, sh in (("primary", False), ("shadowed", True)):
+            def fr(scene, cvi, cpi, sh=sh):
+                return render_image(scene, cvi, cpi, width=W, height=H,
+                                    backend="fast", shadows=sh)
+            ms = pipe(fr, [(scene, cvi, cpi) for cvi, cpi in mats])
+            img = np.asarray(fr(scene, *mats[0]))
+            emit(stage="K4", what=f"frame_{name}", ms=round(ms, 2),
+                 img_mean=round(float(img.mean()), 6))
+
     if "S" in stages:
         # gate for the sort+paint voxelize design: lax.sort cost on the
         # FULL padded lin stream (misses = n_cells sentinel sort to the

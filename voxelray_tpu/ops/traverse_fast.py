@@ -350,7 +350,11 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
     # drain, overflow rays rewind to their first candidate brick, stay
     # active, and the drain serves them exactly — so the caller's ff
     # stands and the final round's fine-words gather stays compacted
-    # (k x n/ff instead of k x n indices).
+    # (k x n/ff instead of k x n indices).  drain="off_unsafe" is a
+    # PROFILING-ONLY mode: no drain AND the caller's ff stands — it can
+    # drop overflow hits; it exists because forcing ff1 made every
+    # nodrain-vs-drain comparison measure two different pipelines
+    # (round-4 K3 lesson).
     if not drain:
         ff_list = ff_list[: rounds - 1] + (1,) + ff_list[rounds:]
 
@@ -589,7 +593,8 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
     chained = None
     for r in range(rounds):
         cap = caps[r]
-        chain_this = (rounds == 1 and cap < n and drain)
+        chain_this = (rounds == 1 and cap < n and drain
+                      and drain != "off_unsafe")
         if cap < n:
             use_groups = (resident_groups if resident_groups is not None
                           else (n % GR == 0 and cap % GR == 0))
@@ -677,8 +682,9 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
             cx, cy, cz = ncx, ncy, ncz
             act_i = (act & ~resolved & (cont > 0)).astype(jnp.int32)
 
-    if not drain:
-        return best_t, best_lin, jnp.sum(act_i), jnp.int32(0)
+    if not drain or drain == "off_unsafe":
+        return (best_t, best_lin, jnp.sum(act_i), jnp.int32(0),
+                jnp.sum(act_i))
 
     # ---- exhaustiveness drain (VERDICT r2 item 2) -----------------------
     # Rays still active after the static rounds (crossed more occupied
@@ -829,6 +835,10 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
         act_i = act_i.at[sel_h].set(dact_h, mode="drop")
         laps0 = jnp.int32(1)
 
+    # drain-entry population (profiling stat, return_stats="debug"):
+    # stragglers + rewound overflow about to be served by the drain
+    pre_drain = jnp.sum(act_i) + (jnp.sum(chained[0])
+                                  if chained is not None else jnp.int32(0))
     unresolved_dom = jnp.int32(0)
     laps_chained = jnp.int32(0)
     if chained is not None:
@@ -854,7 +864,7 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
     # unresolved is 0 unless an iteration cap bit (both caps are true
     # upper bounds, so this is a defensive invariant, not a drop path)
     return (best_t, best_lin, jnp.sum(act_i) + unresolved_dom,
-            laps + laps_chained)
+            laps + laps_chained, pre_drain)
 
 
 def _tuned_chunk(accel, chunk):
@@ -942,7 +952,7 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
     t_min_in = jnp.asarray(t_min, jnp.float32)
     if t_min_in.ndim:
         t_min_in = t_min_in.reshape(-1)
-    t, lin, unresolved, laps = _trace_fast_impl(
+    t, lin, unresolved, laps, pre_drain = _trace_fast_impl(
         o, d, accel, t_min_in, t_max_b, admit_f,
         accel_static=(accel.bdims, accel.origin_key, accel.voxel_size,
                       accel.dims),
@@ -954,6 +964,12 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
         fine_bq=fine_bq, fine_static=fine_static, fine_ilp=fine_ilp,
         resident_groups=resident_groups, drain_hoist=drain_hoist,
         self_admit=self_admit)
+    if return_stats == "debug":
+        # pre_drain = rays entering the drain (stragglers + rewound
+        # fine-overflow) — the population that scales drain lap cost;
+        # profiling-only, pairs with drain="off_unsafe"
+        return (t.reshape(batch_shape), lin.reshape(batch_shape),
+                unresolved, laps, pre_drain)
     if return_stats == "full":
         # laps = drain outer-loop iteration count (each lap pays a
         # full-width compaction inside a while body — the profiling
