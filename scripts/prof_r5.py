@@ -921,6 +921,88 @@ def main():
             emit(stage="K4", what=f"frame_{name}", ms=round(ms, 2),
                  img_mean=round(float(img.mean()), 6))
 
+    if "K5" in stages:
+        # Drain anatomy at ff8 (K4: drain costs 19.5 ms for 16356
+        # stragglers — 42% of the trace for 0.8% of rays).  (a) inner
+        # while iteration count (each iteration pays an in-while
+        # k x cap_d gather + a pallas dispatch); (b) drain_frac/drain_k
+        # sweep AT ff8 (earlier df sweeps ran at ff5 and measured a
+        # different pipeline).
+        variants = [
+            ("ff8_df64_dk8", dict()),
+            ("ff8_df128_dk8", dict(drain_frac=128)),
+            ("ff8_df256_dk8", dict(drain_frac=256)),
+            ("ff8_df64_dk16", dict(drain_k=16)),
+            ("ff8_df128_dk16", dict(drain_frac=128, drain_k=16)),
+            ("ff8_df64_dk4", dict(drain_k=4)),
+        ]
+        for name, kv in variants:
+            tr = jax.jit(lambda o, d, kv=kv: trace_grid_fast(
+                o, d, accel, return_stats="debug", **kv))
+            ms = pipe(tr, rays)
+            out = tr(*rays[0])
+            emit(stage="K5", what=f"trace_{name}", ms=round(ms, 2),
+                 hits=int(np.isfinite(np.asarray(out[0])).sum()),
+                 unresolved=int(out[2]), laps=int(out[3]),
+                 pre_drain=int(out[4]), inner_its=int(out[5]))
+
+        # shadow chained drain inner iterations
+        ssets = shadow_sets()
+        p, ld, adm = ssets[0]
+        out = jax.jit(lambda p, ld, adm: trace_grid_fast(
+            p, ld, accel, admit=adm, k_hits=4, fine_frac=(1,),
+            resident_frac=2, admit_frac=8,
+            return_stats="debug"))(p, ld, adm)
+        emit(stage="K5", what="shadow_chained_stats",
+             unresolved=int(out[2]), laps=int(out[3]),
+             pre_drain=int(out[4]), inner_its=int(out[5]))
+
+    if "K6" in stages:
+        # Straggler decay probe: cap the drain's inner while at N
+        # iterations (drain_max_iters, profiling-only) and read the
+        # surviving population off `unresolved`.  The ms series also
+        # gives the true per-inner-iteration marginal cost.
+        for cap in (1, 2, 3, 4, 6, 8, 12, 16):
+            tr = jax.jit(lambda o, d, cap=cap: trace_grid_fast(
+                o, d, accel, drain_max_iters=cap, return_stats="debug"))
+            ms = pipe(tr, rays)
+            out = tr(*rays[0])
+            emit(stage="K6", what=f"decay_cap{cap}", ms=round(ms, 2),
+                 surviving=int(out[2]), pre_drain=int(out[4]),
+                 inner_its=int(out[5]))
+
+    if "K7" in stages:
+        # Restructured drain (cap-local while carries + straight-line
+        # lap 1): trace at ff8, drain_hoist unroll sweep, chained
+        # shadow, and the two frame headlines.
+        for name, kv in (("ff8", dict()), ("ff8_dh1", dict(drain_hoist=1)),
+                         ("ff8_dh2", dict(drain_hoist=2)),
+                         ("ff8_dh3", dict(drain_hoist=3))):
+            tr = jax.jit(lambda o, d, kv=kv: trace_grid_fast(
+                o, d, accel, return_stats="debug", **kv))
+            ms = pipe(tr, rays)
+            out = tr(*rays[0])
+            emit(stage="K7", what=f"trace_{name}", ms=round(ms, 2),
+                 hits=int(np.isfinite(np.asarray(out[0])).sum()),
+                 unresolved=int(out[2]), laps=int(out[3]),
+                 pre_drain=int(out[4]), inner_its=int(out[5]))
+
+        ssets = shadow_sets()
+        ah = jax.jit(lambda p, ld, adm: any_hit_grid_fast(
+            p, ld, accel, admit=adm))
+        ms = pipe(ah, ssets)
+        occl = int(np.asarray(ah(*ssets[0])).sum())
+        emit(stage="K7", what="ah_chained", ms=round(ms, 2), occl=occl)
+
+        for name, sh in (("primary", False), ("shadowed", True)):
+            def fr(scene, cvi, cpi, sh=sh):
+                return render_image(scene, cvi, cpi, width=W, height=H,
+                                    backend="fast", shadows=sh)
+            ms = pipe(fr, [(scene, cvi, cpi) for cvi, cpi in mats])
+            img = np.asarray(fr(scene, *mats[0]))
+            emit(stage="K7", what=f"frame_{name}", ms=round(ms, 2),
+                 img_mean=round(float(img.mean()), 6))
+
     if "S" in stages:
         # gate for the sort+paint voxelize design: lax.sort cost on the
         # FULL padded lin stream (misses = n_cells sentinel sort to the

@@ -260,7 +260,8 @@ def _fine_resolve_block(o, d, brick_lin, t_max, accel, t_min):
                      "resident_frac", "drain", "drain_frac", "drain_k",
                      "cont_rounds", "cont_k", "cont_frac", "fine_unroll",
                      "fine_bq", "fine_static", "fine_ilp",
-                     "resident_groups", "drain_hoist", "self_admit"),
+                     "resident_groups", "drain_hoist", "self_admit",
+                     "drain_max_iters"),
 )
 def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
                      rounds, chunk, fine="walk", k_hits=4, fine_frac=4,
@@ -269,7 +270,7 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
                      cont_rounds=0, cont_k=8, cont_frac=4,
                      fine_unroll=13, fine_bq=None, fine_static=False,
                      fine_ilp=1, resident_groups=None, drain_hoist=0,
-                     self_admit=False):
+                     self_admit=False, drain_max_iters=None):
     n = o.shape[0]
     cx, cy, cz, active = _init_state(
         o, d, accel, t_max,
@@ -684,29 +685,31 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
 
     if not drain or drain == "off_unsafe":
         return (best_t, best_lin, jnp.sum(act_i), jnp.int32(0),
-                jnp.sum(act_i))
+                jnp.sum(act_i), jnp.int32(0))
 
     # ---- exhaustiveness drain (VERDICT r2 item 2) -----------------------
     # Rays still active after the static rounds (crossed more occupied
     # bricks than k_hits x rounds covers without an accepted cell) drain
-    # to empty through a TWO-LEVEL loop: the outer loop compacts actives
-    # from full width into a small fixed domain (n/drain_frac) and the
-    # inner loop walks that domain until every ray resolves or exits; the
-    # outer loop repeats while actives remain, so dense-candidate scenes
-    # whose straggler count exceeds the domain (a camera inside the mesh
-    # was measured losing 600k rays with a single fixed-cap pass) stay
-    # EXACT, just slower.  In the common case no ray survives the static
-    # rounds and the outer while runs ZERO iterations (one any() check —
-    # the compaction itself moved inside the loop body, so a fully
-    # drained trace pays nothing).  Inner bound is static and sufficient:
-    # a ray crosses at most bx+by+bz+3 bricks, each iteration consumes
-    # drain_k occupied bricks or retires the ray.  Gathers inside while
-    # bodies run ~40x slower on this TPU — acceptable here because the
-    # loop almost never executes.
+    # to empty through a TWO-LEVEL structure: compact actives from full
+    # width into a small fixed domain (n/drain_frac), then an inner loop
+    # walks that domain until every ray resolves or exits.  Lap 1 runs
+    # STRAIGHT-LINE (round-4 restructure — see make_drain below); an
+    # outer while repeats the lap while actives remain, so
+    # dense-candidate scenes whose straggler count exceeds the domain (a
+    # camera inside the mesh was measured losing 600k rays with a single
+    # fixed-cap pass) stay EXACT, just slower.  Inner bound is static
+    # and sufficient: a ray crosses at most bx+by+bz+3 bricks, each
+    # iteration consumes drain_k occupied bricks or retires the ray.
     from .pallas.brick_fine import fine_walk_multi
     cap_d = cap_up(-(-n // drain_frac))
     bxx, byy, bzz = bdims
     max_iters = (bxx + byy + bzz + 3 + drain_k - 1) // drain_k + 1
+    if drain_max_iters is not None:
+        # PROFILING-ONLY decay probe: cap the drain's inner loop to
+        # measure the straggler population surviving N iterations
+        # (reported as unresolved).  Never set in production — capped
+        # rays are silently un-served.
+        max_iters = int(drain_max_iters)
 
     def make_drain(m_s, rays8_s, idx_map, cap_ds):
         """Drain machinery over a SOURCE DOMAIN of m_s lanes.
@@ -715,7 +718,21 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
         ray indices for the best_t/best_lin writes (None = the domain
         IS full width).  The chained shadow/admit path hands the drain
         its round-1 domain directly, skipping the full-width state
-        write-backs + re-compaction."""
+        write-backs + re-compaction.
+
+        ROUND-4 RESTRUCTURE (measured: the drain cost 19.5 ms for a
+        16k-straggler lap-1-only scene — 42% of the trace for 0.8% of
+        the rays — while the per-inner-iteration marginal was <1 ms and
+        drain_k/drain_frac knobs moved little; K5 stage): the inner
+        while no longer carries the full-width best_t/best_lin buffers
+        or scatters into them per iteration.  It carries ONLY cap_ds
+        -sized local state (~1 MB vs ~50 MB), accumulates results in
+        cap-local (cap_ds,) buffers via vector selects, and ONE
+        post-while scatter routes them to full width.  Lap 1 runs
+        STRAIGHT-LINE (the compaction gathers and result scatters
+        outside any while body); the outer while remains as the exact
+        multi-lap backstop for populations that overflow cap_ds and
+        runs zero iterations otherwise."""
 
         def drain_compact(act_s, cx_s, cy_s, cz_s):
             """Compact active rays into the cap_ds drain domain (the
@@ -742,10 +759,9 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
                 s4 = jnp.stack([cx_s, cy_s, cz_s, act_s], axis=1)[sel_c]
             return sel, live, r8, s4
 
-        def make_drain_body(sel, sel_full, dox, doy, doz, ddx, ddy, ddz,
-                            dtmn, dtmx):
+        def make_drain_body(dox, doy, doz, ddx, ddy, ddz, dtmn, dtmx):
             def drain_body(dst):
-                dact, dcx, dcy, dcz, bt, bl, it = dst
+                dact, dcx, dcy, dcz, dt, dlin, it = dst
                 hits, ncx, ncy, ncz, cont = coarse_walk(
                     dox, doy, doz, ddx, ddy, ddz, dcx, dcy, dcz,
                     dact, dtmx, accel.coarse,
@@ -763,77 +779,64 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
                     origin_key=origin_key, voxel_size=vs,
                     bq=fine_bq or chunk, unroll=fine_unroll)
                 got = jnp.isfinite(t_c) & (dact > 0)
-                idx = jnp.where(got, sel_full, n)
-                bt = bt.at[idx].set(t_c, mode="drop")
-                bl = bl.at[idx].set(lin_c, mode="drop")
+                # cap-local result accumulation: a retired lane never
+                # re-enters got, so each lane writes at most once —
+                # identical values to the old per-iteration scatters
+                dt = jnp.where(got, t_c, dt)
+                dlin = jnp.where(got, lin_c, dlin)
                 ndact = ((dact > 0) & ~got & (cont > 0)) \
                     .astype(jnp.int32)
-                return (ndact, ncx, ncy, ncz, bt, bl, it + 1)
+                return (ndact, ncx, ncy, ncz, dt, dlin, it + 1)
             return drain_body
 
         def drain_cond(dst):
             return jnp.logical_and(jnp.any(dst[0] > 0),
                                    dst[6] < max_iters)
 
-        outer_cap_s = -(-m_s // cap_ds) + 1
+        outer_cap_s = (1 if drain_max_iters is not None
+                       else -(-m_s // cap_ds) + 1)
 
         def outer_cond(st):
+            # lap 1 always runs straight-line (outer starts at 1); the
+            # while serves only cap_ds overflow
             return jnp.logical_and(jnp.any(st[0] > 0), st[6] < outer_cap_s)
 
         def outer_body(st):
-            act_s, cx_s, cy_s, cz_s, best_t, best_lin, outer = st
+            act_s, cx_s, cy_s, cz_s, best_t, best_lin, outer, acc_it = st
             sel, live, r8, s4 = drain_compact(act_s, cx_s, cy_s, cz_s)
             if idx_map is None:
                 sel_full = sel
             else:
                 sel_full = jnp.where(
                     live, idx_map[jnp.minimum(sel, m_s - 1)], n)
-            body = make_drain_body(sel, sel_full, r8[:, 0], r8[:, 1],
-                                   r8[:, 2], r8[:, 3], r8[:, 4],
-                                   r8[:, 5], r8[:, 7], r8[:, 6])
+            body = make_drain_body(r8[:, 0], r8[:, 1], r8[:, 2],
+                                   r8[:, 3], r8[:, 4], r8[:, 5],
+                                   r8[:, 7], r8[:, 6])
             init = ((live & (s4[:, 3] > 0)).astype(jnp.int32),
-                    s4[:, 0], s4[:, 1], s4[:, 2], best_t, best_lin,
+                    s4[:, 0], s4[:, 1], s4[:, 2],
+                    jnp.full((cap_ds,), jnp.inf, jnp.float32),
+                    jnp.full((cap_ds,), -1, jnp.int32),
                     jnp.int32(0))
-            dact, _, _, _, best_t, best_lin, _ = jax.lax.while_loop(
+            for _ in range(max(0, int(drain_hoist))):
+                # optional unrolled straight-line inner steps ahead of
+                # the while (dead lanes no-op via dact=0 masks)
+                init = body(init)
+            dact, _, _, _, dt, dlin, it_f = jax.lax.while_loop(
                 drain_cond, body, init)
+            # ONE post-while scatter pair routes cap-local results to
+            # full width (lanes that never resolved hold inf -> drop)
+            idx_w = jnp.where(jnp.isfinite(dt), sel_full, n)
+            best_t = best_t.at[idx_w].set(dt, mode="drop")
+            best_lin = best_lin.at[idx_w].set(dlin, mode="drop")
             # retire the served rays; rays that overflowed cap_ds keep
             # act_s = 1 and the next outer pass serves them
             act_s = act_s.at[sel].set(dact, mode="drop")
-            return (act_s, cx_s, cy_s, cz_s, best_t, best_lin, outer + 1)
+            return (act_s, cx_s, cy_s, cz_s, best_t, best_lin, outer + 1,
+                    acc_it + it_f)
 
-        return drain_compact, make_drain_body, drain_cond, outer_cond, \
-            outer_body
+        return outer_cond, outer_body
 
-    (drain_compact, make_drain_body, drain_cond, _outer_cond_full,
-     _outer_body_full) = make_drain(n, rays8, None, cap_d)
-
-    laps0 = jnp.int32(0)
-    if drain_hoist:
-        # HOISTED first lap (round-4 experiment, default OFF): run lap 1
-        # as straight-line code (group compaction + `drain_hoist`-1
-        # unrolled drain steps + the inner while), leaving the outer
-        # while as the laps>=2 backstop.  MEASURED ON CHIP a small
-        # REGRESSION (trace 52.7 -> 55.7 ms, any-hit 55.6 -> 57.1 at
-        # laps=1): the in-body compaction is NOT the slow path here, and
-        # the hoist duplicates the drain machinery.  Kept as a knob
-        # because results are bit-identical (same updates, same
-        # drop-mode writes, only scheduling moves) and other scenes may
-        # differ.
-        sel_h, live_h, r8_h, s4_h = drain_compact(act_i, cx, cy, cz)
-        body_h = make_drain_body(sel_h, sel_h, r8_h[:, 0], r8_h[:, 1],
-                                 r8_h[:, 2], r8_h[:, 3], r8_h[:, 4],
-                                 r8_h[:, 5], r8_h[:, 7], r8_h[:, 6])
-        st_h = ((live_h & (s4_h[:, 3] > 0)).astype(jnp.int32),
-                s4_h[:, 0], s4_h[:, 1], s4_h[:, 2], best_t, best_lin,
-                jnp.int32(0))
-        for _ in range(max(0, int(drain_hoist) - 1)):
-            # straight-line steps (fast gathers); guarded by a no-op
-            # where every lane is already dead via dact=0 masks inside
-            st_h = body_h(st_h)
-        dact_h, _, _, _, best_t, best_lin, _ = jax.lax.while_loop(
-            drain_cond, body_h, st_h)
-        act_i = act_i.at[sel_h].set(dact_h, mode="drop")
-        laps0 = jnp.int32(1)
+    _outer_cond_full, _outer_body_full = make_drain(n, rays8, None, cap_d)
 
     # drain-entry population (profiling stat, return_stats="debug"):
     # stragglers + rewound overflow about to be served by the drain
@@ -841,30 +844,45 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
                                   if chained is not None else jnp.int32(0))
     unresolved_dom = jnp.int32(0)
     laps_chained = jnp.int32(0)
+    its_chained = jnp.int32(0)
     if chained is not None:
         # CHAINED drain over the round-1 domain (no full-width state
         # scatters, no full-width re-compaction): the sel map routes
         # result writes to full width; admit-overflow rays are NOT in
         # this domain — the full-width loop below serves them (zero
-        # iterations unless the admit buffer overflowed).
+        # iterations unless the admit buffer overflowed).  Lap 1 runs
+        # straight-line (the common single-lap case never enters the
+        # outer while).
         act_dom, dcx, dcy, dcz, r8_dom, idx_map = chained
         m_dom = act_dom.shape[0]
         cap_dd = min(cap_d, m_dom)
-        _, _, _, outer_cond_d, outer_body_d = make_drain(
+        outer_cond_d, outer_body_d = make_drain(
             m_dom, r8_dom, idx_map, cap_dd)
-        (act_dom, _, _, _, best_t, best_lin,
-         laps_chained) = jax.lax.while_loop(
-            outer_cond_d, outer_body_d,
-            (act_dom, dcx, dcy, dcz, best_t, best_lin, jnp.int32(0)))
+        st_d = outer_body_d(
+            (act_dom, dcx, dcy, dcz, best_t, best_lin, jnp.int32(0),
+             jnp.int32(0)))
+        (act_dom, _, _, _, best_t, best_lin, laps_chained,
+         its_chained) = jax.lax.while_loop(outer_cond_d, outer_body_d,
+                                           st_d)
         unresolved_dom = jnp.sum(act_dom)
 
-    act_i, _, _, _, best_t, best_lin, laps = jax.lax.while_loop(
-        _outer_cond_full, _outer_body_full,
-        (act_i, cx, cy, cz, best_t, best_lin, laps0))
+    # lap 1 straight-line: compaction gathers + result scatters run as
+    # fusable straight-line code; the outer while is the multi-lap
+    # backstop only (zero iterations unless cap_d overflowed).  When the
+    # chained drain already served the round-1 domain, the full-width
+    # loop only backstops rare admit-cap overflow — keep it while-only
+    # (zero iterations in the common case) instead of always paying a
+    # full-width compaction lap.
+    st_f = (act_i, cx, cy, cz, best_t, best_lin, jnp.int32(0),
+            jnp.int32(0))
+    if chained is None:
+        st_f = _outer_body_full(st_f)
+    act_i, _, _, _, best_t, best_lin, laps, inner_its = jax.lax.while_loop(
+        _outer_cond_full, _outer_body_full, st_f)
     # unresolved is 0 unless an iteration cap bit (both caps are true
     # upper bounds, so this is a defensive invariant, not a drop path)
     return (best_t, best_lin, jnp.sum(act_i) + unresolved_dom,
-            laps + laps_chained, pre_drain)
+            laps + laps_chained, pre_drain, inner_its + its_chained)
 
 
 def _tuned_chunk(accel, chunk):
@@ -884,7 +902,8 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
                     drain_frac=64, drain_k=8, cont_rounds=0, cont_k=8,
                     cont_frac=4, fine_unroll=13, fine_bq=None,
                     fine_static=False, fine_ilp=1, resident_groups=None,
-                    drain_hoist=0, self_admit=False, return_stats=False):
+                    drain_hoist=0, self_admit=False, drain_max_iters=None,
+                    return_stats=False):
     """(t, cell_lin) nearest voxel hit; same contract as trace_grid_dda.
 
     drain=True (default) makes the trace EXHAUSTIVE: rays still active
@@ -952,7 +971,7 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
     t_min_in = jnp.asarray(t_min, jnp.float32)
     if t_min_in.ndim:
         t_min_in = t_min_in.reshape(-1)
-    t, lin, unresolved, laps, pre_drain = _trace_fast_impl(
+    t, lin, unresolved, laps, pre_drain, inner_its = _trace_fast_impl(
         o, d, accel, t_min_in, t_max_b, admit_f,
         accel_static=(accel.bdims, accel.origin_key, accel.voxel_size,
                       accel.dims),
@@ -963,13 +982,15 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
         cont_k=cont_k, cont_frac=cont_frac, fine_unroll=fine_unroll,
         fine_bq=fine_bq, fine_static=fine_static, fine_ilp=fine_ilp,
         resident_groups=resident_groups, drain_hoist=drain_hoist,
-        self_admit=self_admit)
+        self_admit=self_admit, drain_max_iters=drain_max_iters)
     if return_stats == "debug":
         # pre_drain = rays entering the drain (stragglers + rewound
         # fine-overflow) — the population that scales drain lap cost;
+        # inner_its = total drain inner-while iterations across laps
+        # (each iteration pays an in-while k x cap_d words gather);
         # profiling-only, pairs with drain="off_unsafe"
         return (t.reshape(batch_shape), lin.reshape(batch_shape),
-                unresolved, laps, pre_drain)
+                unresolved, laps, pre_drain, inner_its)
     if return_stats == "full":
         # laps = drain outer-loop iteration count (each lap pays a
         # full-width compaction inside a while body — the profiling
