@@ -1003,6 +1003,65 @@ def main():
             emit(stage="K7", what=f"frame_{name}", ms=round(ms, 2),
                  img_mean=round(float(img.mean()), 6))
 
+    if "K8" in stages:
+        # self_admit RE-MEASUREMENT post-chaining (the pre-chaining loss
+        # was attributed to ~6 full-width write-back scatters — exactly
+        # what the chained admit->drain path removed).  Only ~20% of
+        # bench rays enter the grid bbox, so a compacted round-1 should
+        # now keep its 5x domain shrink without the scatter tax.
+        for name, kv in (("sa_af4", dict(self_admit=True)),
+                         ("sa_af2", dict(self_admit=True, admit_frac=2)),
+                         ("sa_af8", dict(self_admit=True, admit_frac=8))):
+            tr = jax.jit(lambda o, d, kv=kv: trace_grid_fast(
+                o, d, accel, return_stats="debug", **kv))
+            ms = pipe(tr, rays)
+            out = tr(*rays[0])
+            emit(stage="K8", what=f"trace_{name}", ms=round(ms, 2),
+                 hits=int(np.isfinite(np.asarray(out[0])).sum()),
+                 unresolved=int(out[2]), laps=int(out[3]),
+                 pre_drain=int(out[4]), inner_its=int(out[5]))
+
+        fo = (("self_admit", True),)
+        for name, sh in (("primary_sa", False), ("shadowed_sa", True)):
+            def fr(scene, cvi, cpi, sh=sh):
+                return render_image(scene, cvi, cpi, width=W, height=H,
+                                    backend="fast", shadows=sh,
+                                    fast_opts=dict(fo))
+            ms = pipe(fr, [(scene, cvi, cpi) for cvi, cpi in mats])
+            img = np.asarray(fr(scene, *mats[0]))
+            emit(stage="K8", what=f"frame_{name}", ms=round(ms, 2),
+                 img_mean=round(float(img.mean()), 6))
+
+    if "K9" in stages:
+        # K8 post-mortem: self_admit lost NOT on scatters (chained) but
+        # because fine_frac prices off the COMPACTED width — ff8 at
+        # cap=n/4 gave a 65k fine buffer vs the ~150k+ candidate
+        # population (pre_drain 16k -> 121k, laps 4).  Hold the ABSOLUTE
+        # fine capacity at the default's 260k by pairing self_admit with
+        # a proportionally smaller ff.
+        for name, kv in (
+                ("sa_af4_ff2", dict(self_admit=True, fine_frac=2)),
+                ("sa_af4_ff4", dict(self_admit=True, fine_frac=4))):
+            tr = jax.jit(lambda o, d, kv=kv: trace_grid_fast(
+                o, d, accel, return_stats="debug", **kv))
+            ms = pipe(tr, rays)
+            out = tr(*rays[0])
+            emit(stage="K9", what=f"trace_{name}", ms=round(ms, 2),
+                 hits=int(np.isfinite(np.asarray(out[0])).sum()),
+                 unresolved=int(out[2]), laps=int(out[3]),
+                 pre_drain=int(out[4]), inner_its=int(out[5]))
+
+        fo = (("self_admit", True), ("fine_frac", 2))
+        for name, sh in (("primary_sa2", False), ("shadowed_sa2", True)):
+            def fr(scene, cvi, cpi, sh=sh):
+                return render_image(scene, cvi, cpi, width=W, height=H,
+                                    backend="fast", shadows=sh,
+                                    fast_opts=dict(fo))
+            ms = pipe(fr, [(scene, cvi, cpi) for cvi, cpi in mats])
+            img = np.asarray(fr(scene, *mats[0]))
+            emit(stage="K9", what=f"frame_{name}", ms=round(ms, 2),
+                 img_mean=round(float(img.mean()), 6))
+
     if "S" in stages:
         # gate for the sort+paint voxelize design: lax.sort cost on the
         # FULL padded lin stream (misses = n_cells sentinel sort to the
