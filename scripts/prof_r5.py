@@ -1023,7 +1023,7 @@ def main():
 
         fo = (("self_admit", True),)
         for name, sh in (("primary_sa", False), ("shadowed_sa", True)):
-            def fr(scene, cvi, cpi, sh=sh):
+            def fr(scene, cvi, cpi, sh=sh, fo=fo):
                 return render_image(scene, cvi, cpi, width=W, height=H,
                                     backend="fast", shadows=sh,
                                     fast_opts=dict(fo))
@@ -1053,7 +1053,7 @@ def main():
 
         fo = (("self_admit", True), ("fine_frac", 2))
         for name, sh in (("primary_sa2", False), ("shadowed_sa2", True)):
-            def fr(scene, cvi, cpi, sh=sh):
+            def fr(scene, cvi, cpi, sh=sh, fo=fo):
                 return render_image(scene, cvi, cpi, width=W, height=H,
                                     backend="fast", shadows=sh,
                                     fast_opts=dict(fo))

@@ -38,6 +38,35 @@ def test_sharded_voxelize_matches_single(mesh8):
     assert int(calls) == single["set_calls"]
 
 
+def test_frames_sharded_voxelize_matches_sequential(mesh8):
+    """Config-5 frames-batched DP: each device voxelizes whole frames;
+    results must equal per-frame single-device voxelization bit-exactly.
+    Uses 5 frames over 8 devices to exercise the frame padding path."""
+    from voxelray_tpu.parallel.comm import voxelize_frames_sharded
+
+    v, f = meshes.icosphere(1)
+    vs = 0.25
+    n_frames = 5
+    fv = np.stack([meshes.deformed(v, 2 * np.pi * i / n_frames)
+                   for i in range(n_frames)])
+    from voxelray_tpu.ops.geometry import grid_dims, mesh_bbox
+    bb_min, bb_max = mesh_bbox(fv.reshape(-1, 3))
+    dims = grid_dims(bb_min, bb_max, vs)
+    win = (4, 4, 4)
+    occ, calls = voxelize_frames_sharded(fv, f, bb_min, mesh8, dims=dims,
+                                         voxel_size=vs, window=win,
+                                         chunk=32)
+    occ = np.asarray(occ)
+    assert occ.shape[0] == n_frames
+    from voxelray_tpu.ops.voxelize import voxelize_dense
+    for i in range(n_frames):
+        occ_i, calls_i = voxelize_dense(
+            jnp.asarray(fv[i][f]), jnp.asarray(bb_min), dims=dims,
+            voxel_size_static=vs, window=win, chunk=32)
+        assert np.array_equal(occ[i], np.asarray(occ_i)), f"frame {i}"
+        assert int(calls[i]) == int(calls_i)
+
+
 def test_sharded_render_matches_single(mesh8):
     v, f = meshes.bunny_like(2)
     grid = GridBool.from_mesh(v, f, 0.11)

@@ -27,8 +27,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "shard_triangles", "voxelize_sharded",
-           "render_sharded", "render_zslab_sharded",
-           "or_reduce_occupancy"]
+           "voxelize_frames_sharded", "render_sharded",
+           "render_zslab_sharded", "or_reduce_occupancy"]
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "rays") -> Mesh:
@@ -86,6 +86,55 @@ def voxelize_sharded(tri_verts, origin, mesh: Mesh, *, dims,
         return occ, calls
 
     return _vox(jnp.asarray(tri), jnp.asarray(origin, jnp.float32))
+
+
+def voxelize_frames_sharded(frame_verts, faces, origin, mesh: Mesh, *,
+                            dims, voxel_size, window, chunk=4096):
+    """Batch-of-frames data parallelism (BASELINE config 5).
+
+    frame_verts: (F, V, 3) float32 — one deformed vertex set per
+    animation frame, fixed topology `faces` (T, 3).  Frames shard over
+    the mesh axis: each device voxelizes ceil(F/n) whole frames
+    independently (zero collectives in the hot path — the deforming-mesh
+    analog of the reference's per-frame rebuild, VoxelBuilder.hpp:
+    462-537, scaled by frame instead of by triangle).  Returns
+    (occ (F, Z, Y, X) uint8 sharded over frames, set_calls (F,) int32).
+
+    Frame padding: F rounds up to a multiple of n by repeating the last
+    frame; padded outputs are trimmed before returning, so any (F, n)
+    combination is exact.
+    """
+    from ..ops.voxelize import voxelize_dense
+
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    fv = np.asarray(frame_verts, np.float32)
+    F = fv.shape[0]
+    per = -(-F // n)
+    pad = per * n - F
+    if pad:
+        fv = np.concatenate([fv, np.repeat(fv[-1:], pad, axis=0)])
+    faces_d = jnp.asarray(np.asarray(faces).reshape(-1, 3))
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis), P(), P()), out_specs=(P(axis), P(axis)),
+        check_vma=False,
+    )
+    def _vox(verts_shard, faces_rep, org):
+        occs, calls = [], []
+        for i in range(per):  # static local-frame loop
+            tri = verts_shard[i][faces_rep]
+            occ_i, calls_i = voxelize_dense(
+                tri, org, dims=dims, voxel_size_static=float(voxel_size),
+                window=window, chunk=chunk)
+            occs.append(occ_i)
+            calls.append(calls_i)
+        return jnp.stack(occs), jnp.stack(calls)
+
+    occ, calls = _vox(jnp.asarray(fv), faces_d,
+                      jnp.asarray(origin, jnp.float32))
+    return occ[:F], calls[:F]
 
 
 def render_sharded(scene, view_inv, proj_inv, mesh: Mesh, *, width, height,

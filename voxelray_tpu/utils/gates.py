@@ -124,7 +124,7 @@ def gate5_deforming(cfg: JobConfig, scale=1.0, frames=None, n_devices=None,
 
     from ..ops.geometry import grid_dims, mesh_bbox
     from ..ops.voxelize import required_window_shape
-    from ..parallel.comm import make_mesh, voxelize_sharded
+    from ..parallel.comm import make_mesh, voxelize_frames_sharded
 
     v, f = _mesh_for(cfg, scale)
     vs = cfg.voxelize.voxel_size / scale
@@ -143,12 +143,15 @@ def gate5_deforming(cfg: JobConfig, scale=1.0, frames=None, n_devices=None,
                                 bb_min, vs, dims)
     win = tuple(1 << int(np.ceil(np.log2(max(1, x)))) for x in win)
 
-    counts = []
-    for i in range(n_frames):
-        vi = meshes.deformed(v, 2 * np.pi * i / n_frames)
-        occ, calls = voxelize_sharded(vi[f], bb_min, mesh, dims=dims,
-                                      voxel_size=vs, window=win, chunk=256)
-        counts.append(int(np.asarray(occ).sum()))
+    # frames-batched data parallelism (the comm.py design for config 5):
+    # each device voxelizes whole frames of the animation independently
+    fv = np.stack([meshes.deformed(v, 2 * np.pi * i / n_frames)
+                   for i in range(n_frames)])
+    occ, _calls = voxelize_frames_sharded(fv, f, bb_min, mesh, dims=dims,
+                                          voxel_size=vs, window=win,
+                                          chunk=256)
+    counts = [int(c) for c in
+              np.asarray(occ).reshape(n_frames, -1).sum(axis=1)]
     return {"dims": dims, "devices": n_dev, "frames": n_frames,
             "occupied_per_frame": counts}
 
