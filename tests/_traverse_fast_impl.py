@@ -188,12 +188,8 @@ def test_two_level_walk_random_rays(setup):
     dict(fine_frac=1),           # no candidate compaction
     dict(rounds=3),
     dict(k_hits=2),
-    dict(cont_rounds=0),         # no continuation mini-rounds
-    dict(cont_rounds=3, cont_k=4, cont_frac=2),
-    dict(fine_ilp=2),            # slot-interleaved fine walks
-    dict(fine_ilp=5),
-    dict(fine_ilp=2, fine_bq=16),
-    dict(k_hits=2, cont_rounds=1, cont_k=16),
+    dict(drain_k=2),             # deep drain reliance
+    dict(drain_frac=8),
     dict(self_admit=True, admit_frac=4, fine_frac=(2,)),
     # admit cap far below the active population: overflow -> drain
     dict(self_admit=True, admit_frac=64, fine_frac=(1,)),

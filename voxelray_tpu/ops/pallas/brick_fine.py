@@ -38,7 +38,7 @@ _INF = np.float32(np.inf)
 
 
 def _make_kernel(dims, bdims, origin, voxel_size, bq, k_slots, any_hit,
-                 unroll=13, static_steps=False, ilp=1):
+                 unroll=13):
     nx, ny, nz = dims
     bx, by, _bz = bdims
     ogx, ogy, ogz = (np.float32(origin[0]), np.float32(origin[1]),
@@ -189,67 +189,44 @@ def _make_kernel(dims, bdims, origin, voxel_size, bq, k_slots, any_hit,
             act = act & inb & (tmin <= t_hi)
             return (lx, ly, lz, best_t, best_lin, act.astype(jnp.int32))
 
-        # slots run in GROUPS of `ilp`: the walks inside a group are
-        # independent dependency chains, so interleaving them fills the
-        # VPU latency bubbles of one serial DDA chain and shares one
-        # while-loop (half/quarter the scalar conds).  ilp=1 is the
-        # round-2 per-slot structure.
-        groups = [list(range(i, min(i + ilp, k_slots)))
-                  for i in range(0, k_slots, ilp)]
-        for grp in groups:
+        # slots run sequentially; a lane goes dead for later slots the
+        # moment an earlier slot resolves it (gate), and fully-dead
+        # blocks exit each slot's while after one scalar check.
+        # (Round-4 sweeps: slot-interleaved ILP groups and fully-static
+        # step counts both measured within noise — pruned.)
+        for s in range(k_slots):
             gate = ~jnp.isfinite(best_t)
-            pairs = [make_slot(s, gate) for s in grp]
-            ctxs = [p[0] for p in pairs]
-            subs0 = tuple(p[1] for p in pairs)
-            g = len(grp)
-
-            def step_all(subs):
-                return tuple(slot_body(c, sb)
-                             for c, sb in zip(ctxs, subs))
-
-            def any_act(subs):
-                m = subs[0][5]
-                for sb in subs[1:]:
-                    m = m | sb[5]
-                return jnp.any(m != 0)
+            ctx, sub0 = make_slot(s, gate)
 
             def cond(state):
                 # one scalar check per unrolled chunk; fully-dead blocks
                 # (sky tiles, already-resolved rays) exit immediately
                 return jnp.logical_and(state[0] < max_steps,
-                                       any_act(state[1:]))
+                                       jnp.any(state[1][5] != 0))
 
-            init = (jnp.int32(0),) + subs0
-            if static_steps:
-                # fully static: no while_loop, no scalar conds
-                subs = subs0
-                for _ in range(max_steps):
-                    subs = step_all(subs)
-            elif jax.default_backend() == "tpu":
+            init = (jnp.int32(0), sub0)
+            if jax.default_backend() == "tpu":
                 def chunk(state):
-                    step, subs = state[0], state[1:]
+                    step, sb = state
                     for _ in range(unroll):
-                        subs = step_all(subs)
+                        sb = slot_body(ctx, sb)
                         step = step + 1
-                    return (step,) + subs
-                state = jax.lax.while_loop(cond, chunk, init)
-                subs = state[1:]
+                    return (step, sb)
+                _, sub = jax.lax.while_loop(cond, chunk, init)
             else:
                 # interpret mode: plain early-exit while keeps CPU
                 # tests fast
                 def one(state):
-                    step, subs = state[0], state[1:]
-                    return (step + 1,) + step_all(subs)
-                state = jax.lax.while_loop(cond, one, init)
-                subs = state[1:]
+                    step, sb = state
+                    return (step + 1, slot_body(ctx, sb))
+                _, sub = jax.lax.while_loop(cond, one, init)
 
             # merge in slot order: first finite slot (ray order) wins —
             # identical to the sequential per-slot update
-            for sb in subs:
-                bt, bl = sb[3], sb[4]
-                take = jnp.isfinite(bt) & ~jnp.isfinite(best_t)
-                best_t = jnp.where(take, bt, best_t)
-                best_lin = jnp.where(take, bl, best_lin)
+            bt, bl = sub[3], sub[4]
+            take = jnp.isfinite(bt) & ~jnp.isfinite(best_t)
+            best_t = jnp.where(take, bt, best_t)
+            best_lin = jnp.where(take, bl, best_lin)
         t_ref[:] = best_t
         lin_ref[:] = best_lin
 
@@ -259,11 +236,11 @@ def _make_kernel(dims, bdims, origin, voxel_size, bq, k_slots, any_hit,
 @functools.partial(
     jax.jit,
     static_argnames=("dims", "bdims", "origin_key", "voxel_size", "bq",
-                     "any_hit", "unroll", "static_steps", "ilp"),
+                     "any_hit", "unroll"),
 )
 def fine_walk_multi(ox, oy, oz, dx, dy, dz, bricks, words, t_min, t_max, *,
                     dims, bdims, origin_key, voxel_size, bq=64,
-                    any_hit=False, unroll=13, static_steps=False, ilp=1):
+                    any_hit=False, unroll=13):
     """Resolve each ray against its K candidate bricks in ray order.
 
     bricks: (K, N) int32 brick ids (-1 = no brick); words: (K, 16, N)
@@ -301,9 +278,7 @@ def fine_walk_multi(ox, oy, oz, dx, dy, dz, bricks, words, t_min, t_max, *,
     w = w.reshape(k, 16, n_blocks, bq, LANES).transpose(2, 0, 1, 3, 4)
 
     kernel = _make_kernel(dims, bdims, origin_key, voxel_size, bq, k,
-                          any_hit, unroll=unroll,
-                          static_steps=static_steps and
-                          jax.default_backend() == "tpu", ilp=ilp)
+                          any_hit, unroll=unroll)
     grid_spec = pl.GridSpec(
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec((bq, LANES), lambda i: (i, 0),

@@ -258,19 +258,14 @@ def _fine_resolve_block(o, d, brick_lin, t_max, accel, t_min):
     static_argnames=("accel_static", "rounds", "chunk", "fine", "k_hits",
                      "fine_frac", "admit_frac", "two_level",
                      "resident_frac", "drain", "drain_frac", "drain_k",
-                     "cont_rounds", "cont_k", "cont_frac", "fine_unroll",
-                     "fine_bq", "fine_static", "fine_ilp",
-                     "resident_groups", "drain_hoist", "self_admit",
-                     "drain_max_iters"),
+                     "fine_unroll", "resident_groups", "self_admit"),
 )
 def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
                      rounds, chunk, fine="walk", k_hits=4, fine_frac=4,
                      admit_frac=4, two_level=None, resident_frac=4,
                      drain=True, drain_frac=64, drain_k=8,
-                     cont_rounds=0, cont_k=8, cont_frac=4,
-                     fine_unroll=13, fine_bq=None, fine_static=False,
-                     fine_ilp=1, resident_groups=None, drain_hoist=0,
-                     self_admit=False, drain_max_iters=None):
+                     fine_unroll=13, resident_groups=None,
+                     self_admit=False):
     n = o.shape[0]
     cx, cy, cz, active = _init_state(
         o, d, accel, t_max,
@@ -351,11 +346,7 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
     # drain, overflow rays rewind to their first candidate brick, stay
     # active, and the drain serves them exactly — so the caller's ff
     # stands and the final round's fine-words gather stays compacted
-    # (k x n/ff instead of k x n indices).  drain="off_unsafe" is a
-    # PROFILING-ONLY mode: no drain AND the caller's ff stands — it can
-    # drop overflow hits; it exists because forcing ff1 made every
-    # nodrain-vs-drain comparison measure two different pipelines
-    # (round-4 K3 lesson).
+    # (k x n/ff instead of k x n indices).
     if not drain:
         ff_list = ff_list[: rounds - 1] + (1,) + ff_list[rounds:]
 
@@ -485,69 +476,7 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
             fx, fy, fz, fdx, fdy, fdz,
             bricks_c, words, ftmn, ftmx,
             dims=accel_static_dims, bdims=bdims, origin_key=origin_key,
-            voxel_size=vs, bq=fine_bq or chunk, unroll=fine_unroll,
-            static_steps=fine_static, ilp=fine_ilp)
-
-        if cont_rounds and fcap < m:
-            # Continuation mini-rounds (round-3 stage-D finding: the
-            # drain's per-iteration while_loop scheduling dominates every
-            # knob — k4 cost 144 ms vs k5's 81 with identical hits purely
-            # from extra drain passes).  Stragglers are a SUBSET of the
-            # candidate rays when the walk runs to grid exit (a ray with
-            # no candidate has cont=0), so unresolved candidates can
-            # continue their brick walk compacted WITHIN the fcap domain:
-            # straight-line code, 1/32-width glue, no full-width
-            # compaction scatter (the ~13 ms/round that made extra
-            # full rounds a loss).  The drain stays as the exact-result
-            # backstop for whatever the mini-rounds still miss.
-            ccap = cap_up(-(-fcap // cont_frac))
-            cont_f = jnp.where(flive, jnp.take(cont, fsel_c), 0)
-            for _ in range(cont_rounds):
-                unres = (flive & ~jnp.isfinite(t_c) & (cont_f > 0)) \
-                    .astype(jnp.int32)
-                msel, mlive, msel_c, mpos = compact_mask(unres, ccap, fcap)
-                msel_m = fsel_c[msel_c]           # fcap -> m index chain
-                st4 = jnp.stack([ncx, ncy, ncz], axis=1)[msel_m]
-                r8c = jnp.stack([fx, fy, fz, fdx, fdy, fdz, ftmx, ftmn],
-                                axis=1)[msel_c]
-                mact = mlive
-                hits2, mcx, mcy, mcz, cont2 = coarse_walk(
-                    r8c[:, 0], r8c[:, 1], r8c[:, 2],
-                    r8c[:, 3], r8c[:, 4], r8c[:, 5],
-                    st4[:, 0], st4[:, 1], st4[:, 2],
-                    mact.astype(jnp.int32), r8c[:, 6], accel.coarse,
-                    accel.l2 if use_l2 else None,
-                    bdims=bdims, origin_key=origin_key, brick_world=bw,
-                    bq=chunk, k_hits=cont_k)
-                bricks2 = jnp.where(mact[None, :], hits2, -1)
-                bl2 = jnp.maximum(bricks2, 0).reshape(-1)
-                words2 = jnp.take(accel.fine, bl2, axis=1) \
-                    .reshape(16, cont_k, ccap).transpose(1, 0, 2)
-                t2, lin2 = fine_walk_multi(
-                    r8c[:, 0], r8c[:, 1], r8c[:, 2],
-                    r8c[:, 3], r8c[:, 4], r8c[:, 5],
-                    bricks2, words2, r8c[:, 7], r8c[:, 6],
-                    dims=accel_static_dims, bdims=bdims,
-                    origin_key=origin_key, voxel_size=vs,
-                    bq=fine_bq or chunk, unroll=fine_unroll,
-                    static_steps=fine_static, ilp=fine_ilp)
-                got2 = jnp.isfinite(t2) & mact
-                idx_f = jnp.where(got2, msel, fcap)
-                t_c = t_c.at[idx_f].set(t2, mode="drop")
-                lin_c = lin_c.at[idx_f].set(lin2, mode="drop")
-                # walk-state write-back (m domain) for every continued
-                # ray; resolved rays are deactivated by the caller via
-                # the finite t, exited rays via cont2=0
-                idx_m = jnp.where(mact, msel_m, m)
-                ncx = ncx.at[idx_m].set(mcx, mode="drop")
-                ncy = ncy.at[idx_m].set(mcy, mode="drop")
-                ncz = ncz.at[idx_m].set(mcz, mode="drop")
-                cont = cont.at[idx_m].set(cont2, mode="drop")
-                cont_f = cont_f.at[jnp.where(mact, msel, fcap)].set(
-                    cont2, mode="drop")
-                # unresolved rays that overflowed ccap keep their valid
-                # state and cont=1: the next mini-round or the drain
-                # serves them — never dropped
+            voxel_size=vs, bq=chunk, unroll=fine_unroll)
 
         if fcap < m:
             t = jnp.full((m,), jnp.inf, jnp.float32).at[fsel].set(
@@ -594,8 +523,7 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
     chained = None
     for r in range(rounds):
         cap = caps[r]
-        chain_this = (rounds == 1 and cap < n and drain
-                      and drain != "off_unsafe")
+        chain_this = (rounds == 1 and cap < n and drain)
         if cap < n:
             use_groups = (resident_groups if resident_groups is not None
                           else (n % GR == 0 and cap % GR == 0))
@@ -683,7 +611,7 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
             cx, cy, cz = ncx, ncy, ncz
             act_i = (act & ~resolved & (cont > 0)).astype(jnp.int32)
 
-    if not drain or drain == "off_unsafe":
+    if not drain:
         return (best_t, best_lin, jnp.sum(act_i), jnp.int32(0),
                 jnp.sum(act_i), jnp.int32(0))
 
@@ -704,12 +632,6 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
     cap_d = cap_up(-(-n // drain_frac))
     bxx, byy, bzz = bdims
     max_iters = (bxx + byy + bzz + 3 + drain_k - 1) // drain_k + 1
-    if drain_max_iters is not None:
-        # PROFILING-ONLY decay probe: cap the drain's inner loop to
-        # measure the straggler population surviving N iterations
-        # (reported as unresolved).  Never set in production — capped
-        # rays are silently un-served.
-        max_iters = int(drain_max_iters)
 
     def make_drain(m_s, rays8_s, idx_map, cap_ds):
         """Drain machinery over a SOURCE DOMAIN of m_s lanes.
@@ -777,7 +699,7 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
                     dox, doy, doz, ddx, ddy, ddz, bricks_c, words, dtmn,
                     dtmx, dims=accel_static_dims, bdims=bdims,
                     origin_key=origin_key, voxel_size=vs,
-                    bq=fine_bq or chunk, unroll=fine_unroll)
+                    bq=chunk, unroll=fine_unroll)
                 got = jnp.isfinite(t_c) & (dact > 0)
                 # cap-local result accumulation: a retired lane never
                 # re-enters got, so each lane writes at most once —
@@ -793,8 +715,7 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
             return jnp.logical_and(jnp.any(dst[0] > 0),
                                    dst[6] < max_iters)
 
-        outer_cap_s = (1 if drain_max_iters is not None
-                       else -(-m_s // cap_ds) + 1)
+        outer_cap_s = -(-m_s // cap_ds) + 1
 
         def outer_cond(st):
             # lap 1 always runs straight-line (outer starts at 1); the
@@ -817,10 +738,6 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
                     jnp.full((cap_ds,), jnp.inf, jnp.float32),
                     jnp.full((cap_ds,), -1, jnp.int32),
                     jnp.int32(0))
-            for _ in range(max(0, int(drain_hoist))):
-                # optional unrolled straight-line inner steps ahead of
-                # the while (dead lanes no-op via dact=0 masks)
-                init = body(init)
             dact, _, _, _, dt, dlin, it_f = jax.lax.while_loop(
                 drain_cond, body, init)
             # ONE post-while scatter pair routes cap-local results to
@@ -899,10 +816,8 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
                     t_max=TMAX, rounds=1, chunk=64, fine="walk",
                     admit=None, k_hits=5, two_level=None, fine_frac=8,
                     resident_frac=4, admit_frac=4, drain=True,
-                    drain_frac=64, drain_k=8, cont_rounds=0, cont_k=8,
-                    cont_frac=4, fine_unroll=13, fine_bq=None,
-                    fine_static=False, fine_ilp=1, resident_groups=None,
-                    drain_hoist=0, self_admit=False, drain_max_iters=None,
+                    drain_frac=64, drain_k=8, fine_unroll=13,
+                    resident_groups=None, self_admit=False,
                     return_stats=False):
     """(t, cell_lin) nearest voxel hit; same contract as trace_grid_dda.
 
@@ -933,15 +848,12 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
     scatters over its domain at the ~153M lanes/s scatter wall — more
     than the full-width walk it saves.  Keep round 1 full-width.
 
-    cont_rounds=C runs C continuation mini-rounds INSIDE the compacted
-    candidate domain before handing stragglers to the drain: unresolved
-    candidates (a superset of all stragglers when the walk runs to grid
-    exit) recompact into an fcap/cont_frac buffer and continue their
-    walk with cont_k-deep slots.  Measured on the full preset (round-3
-    stage F): the drain serves the 26k stragglers for ~7 ms while each
-    mini-round costs ~7-10 ms of takes/glue, so the default is 0 — the
-    knob exists for straggler-heavy configs (shallow k_hits on long
-    in-mesh rays) where extra drain passes would otherwise multiply.
+    (Round-5 pruning: the continuation mini-round knobs (cont_rounds/
+    cont_k/cont_frac — measured strictly additive both rounds they were
+    tried), drain_hoist (flat-to-worse), fine_static/fine_ilp/fine_bq
+    (all within noise) and the profiling-only drain="off_unsafe"/
+    drain_max_iters modes were deleted; their measurements live in
+    RESULTS.md.)
 
     admit: optional bool mask (batch shape) — only admitted rays trace
     (others return miss); the round-1 resident buffer is then compacted
@@ -978,17 +890,14 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
         rounds=rounds, chunk=_tuned_chunk(accel, chunk), fine=fine,
         k_hits=k_hits, two_level=two_level, fine_frac=fine_frac,
         resident_frac=resident_frac, admit_frac=admit_frac, drain=drain,
-        drain_frac=drain_frac, drain_k=drain_k, cont_rounds=cont_rounds,
-        cont_k=cont_k, cont_frac=cont_frac, fine_unroll=fine_unroll,
-        fine_bq=fine_bq, fine_static=fine_static, fine_ilp=fine_ilp,
-        resident_groups=resident_groups, drain_hoist=drain_hoist,
-        self_admit=self_admit, drain_max_iters=drain_max_iters)
+        drain_frac=drain_frac, drain_k=drain_k, fine_unroll=fine_unroll,
+        resident_groups=resident_groups, self_admit=self_admit)
     if return_stats == "debug":
         # pre_drain = rays entering the drain (stragglers + rewound
         # fine-overflow) — the population that scales drain lap cost;
         # inner_its = total drain inner-while iterations across laps
         # (each iteration pays an in-while k x cap_d words gather);
-        # profiling-only, pairs with drain="off_unsafe"
+        # profiling-only stats
         return (t.reshape(batch_shape), lin.reshape(batch_shape),
                 unresolved, laps, pre_drain, inner_its)
     if return_stats == "full":
@@ -1007,9 +916,8 @@ def any_hit_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
                       t_max=TMAX, rounds=1, chunk=64, fine="walk",
                       admit=None, k_hits=4, two_level=None,
                       resident_frac=2, admit_frac=8, fine_frac=None,
-                      cont_rounds=0, cont_k=8, cont_frac=4,
                       drain_frac=64, drain_k=8, resident_groups=None,
-                      drain_hoist=0, drain=True):
+                      drain=True):
     """True where some voxel accepts along the ray (shadow query).
 
     drain=False is an ATTRIBUTION knob only: it skips the
@@ -1052,9 +960,7 @@ def any_hit_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
                            admit=admit, k_hits=k_hits, fine_frac=ff,
                            two_level=two_level,
                            resident_frac=resident_frac,
-                           admit_frac=admit_frac, cont_rounds=cont_rounds,
-                           cont_k=cont_k, cont_frac=cont_frac,
+                           admit_frac=admit_frac,
                            drain_frac=drain_frac, drain_k=drain_k,
-                           resident_groups=resident_groups,
-                           drain_hoist=drain_hoist, drain=drain)
+                           resident_groups=resident_groups, drain=drain)
     return jnp.isfinite(t)
