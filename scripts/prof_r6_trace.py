@@ -1,0 +1,116 @@
+"""Round-5: jax.profiler capture of the production frame + xplane parse.
+
+Captures a device trace of K pipelined shadowed/primary frames and
+aggregates device-op durations by name — the first REAL in-frame
+attribution (all prior rounds inferred stage costs from prefix-program
+marginals, which XLA fuses differently than the full frame).
+
+Run solo on TPU:
+  JAX_PLATFORMS= PYTHONPATH=/root/repo:/root/.axon_site \
+      python scripts/prof_r6_trace.py
+"""
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+from collections import defaultdict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def log(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def parse_xplane(path):
+    """Aggregate device-plane event durations (us) by event name."""
+    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    with open(path, "rb") as fh:
+        xs = xplane_pb2.XSpace()
+        xs.ParseFromString(fh.read())
+    out = []
+    for plane in xs.planes:
+        if "TPU" not in plane.name and "device" not in plane.name.lower():
+            continue
+        meta = {m.id: m.name for m in plane.event_metadata.values()} \
+            if hasattr(plane.event_metadata, "values") else {}
+        if not meta:
+            meta = {k: v.name for k, v in plane.event_metadata.items()}
+        agg = defaultdict(lambda: [0.0, 0])
+        for line in plane.lines:
+            for ev in line.events:
+                name = meta.get(ev.metadata_id, str(ev.metadata_id))
+                agg[name][0] += ev.duration_ps / 1e6  # -> us
+                agg[name][1] += 1
+        out.append((plane.name, agg))
+    return out
+
+
+def main():
+    from voxelray_tpu.io import meshes
+    from voxelray_tpu.models.grids import GridBool
+    from voxelray_tpu.models.scene import build_scene
+    from voxelray_tpu.ops.geometry import mesh_bbox
+    from voxelray_tpu.render.camera import Camera, orbit_path
+    from voxelray_tpu.render.pipeline import render_image
+
+    log(backend=jax.default_backend())
+    W, H = 1920, 1080
+    v, f = meshes.torus_knot(2, 3, 1024, 512)
+    bb_min, bb_max = mesh_bbox(v)
+    vs = float(max(bb_max - bb_min)) / 512
+    grid = GridBool.from_mesh(v, f, vs)
+    scene = build_scene(models=None, grid=grid)
+    log(stage="scene", dims=list(grid.dims))
+
+    center = tuple(((bb_min + bb_max) * 0.5).tolist())
+    radius = float(np.max(bb_max - bb_min)) * 1.2
+    cams = list(orbit_path(8, center=center, radius=radius,
+                           height=center[1] + radius * 0.3))
+    mats = [c.matrices(W, H)[2:] for c in cams]
+    mats = [(jnp.asarray(vi), jnp.asarray(pi)) for vi, pi in mats]
+
+    for shadows, tag in ((False, "primary"), (True, "shadowed")):
+        def frame(vi, pi):
+            return render_image(scene, vi, pi, width=W, height=H,
+                                backend="fast", shadows=shadows)
+        # warm
+        jax.block_until_ready(frame(*mats[0]))
+        t0 = time.time()
+        outs = [frame(*m) for m in mats]
+        jax.block_until_ready(outs)
+        ms = (time.time() - t0) / len(mats) * 1e3
+        log(stage="timing", tag=tag, ms=round(ms, 1))
+
+        tdir = f"/tmp/xprof_{tag}"
+        os.system(f"rm -rf {tdir}")
+        jax.profiler.start_trace(tdir)
+        outs = [frame(*m) for m in mats]
+        jax.block_until_ready(outs)
+        jax.profiler.stop_trace()
+
+        pbs = glob.glob(f"{tdir}/**/*.xplane.pb", recursive=True)
+        log(stage="capture", tag=tag, files=pbs)
+        for pb in pbs:
+            try:
+                planes = parse_xplane(pb)
+            except Exception as e:  # noqa
+                log(stage="parse_error", err=str(e))
+                continue
+            for pname, agg in planes:
+                rows = sorted(agg.items(), key=lambda kv: -kv[1][0])[:40]
+                log(stage="plane", tag=tag, plane=pname,
+                    total_ms=round(sum(a[0] for a in agg.values()) / 1e3
+                                   / len(mats), 2))
+                for name, (us, n) in rows:
+                    log(op=name[:120], ms_per_frame=round(us / 1e3 /
+                                                          len(mats), 3),
+                        calls=n)
+
+
+if __name__ == "__main__":
+    main()

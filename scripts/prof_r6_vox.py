@@ -1,0 +1,111 @@
+"""Round-5 TPU measurement: slab-accumulation voxelizer vs scatter path.
+
+Solo TPU process (CLAUDE.md discipline).  Launch with JAX_PLATFORMS=
+(empty) so the axon plugin picks the TPU.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def log(**kw):
+    print(json.dumps(kw), flush=True)
+    sys.stdout.flush()
+
+
+def main():
+    from voxelray_tpu.io import meshes
+    from voxelray_tpu.ops.geometry import grid_dims, mesh_bbox
+    from voxelray_tpu.ops.voxelize import plan_voxelize, voxelize_planned
+    from voxelray_tpu.ops.pallas.voxel_accum import (
+        _accum_call, _finalize, build_accum_plan, voxelize_accum)
+
+    log(backend=jax.default_backend())
+    v, f = meshes.torus_knot(2, 3, 1024, 512)
+    bb_min, bb_max = mesh_bbox(v)
+    extent = float(max(bb_max - bb_min))
+    vs = extent / 512
+    dims = grid_dims(bb_min, bb_max, vs)
+    log(tris=len(f), dims=list(dims), vs=vs)
+
+    # -- current scatter path ------------------------------------------
+    t0 = time.time()
+    plan_s = plan_voxelize(v, f, vs, bb_min=bb_min, bb_max=bb_max)
+    log(stage="plan_scatter", s=round(time.time() - t0, 1))
+    v_dev = jnp.asarray(v)
+    occ_s, calls_s = voxelize_planned(plan_s, v_dev)
+    jax.block_until_ready(occ_s)
+    reps = 6
+    ts = []
+    for i in range(reps):
+        vd = v_dev * (1.0 + 0.0 * i)  # fresh input each rep
+        t0 = time.time()
+        occ_i, calls_i = voxelize_planned(plan_s, vd)
+        jax.block_until_ready(occ_i)
+        ts.append(time.time() - t0)
+    log(stage="scatter", ms=round(float(np.median(ts)) * 1e3, 1),
+        all=[round(x * 1e3, 1) for x in ts],
+        occupied=int(np.asarray(occ_s).sum()), calls=int(calls_s))
+
+    # -- accumulation kernel -------------------------------------------
+    t0 = time.time()
+    plan_a = build_accum_plan(v, f, vs, bb_min=bb_min, bb_max=bb_max)
+    log(stage="plan_accum", s=round(time.time() - t0, 1),
+        groups=plan_a.n_groups, lanes=plan_a.n_lanes,
+        fallback=len(plan_a.fallback_faces),
+        rps_pad=plan_a.rps_pad, xp=plan_a.xp, n_slabs=plan_a.n_slabs)
+    occ_a, calls_a = voxelize_accum(plan_a)
+    jax.block_until_ready(occ_a)
+    occ_a_h = np.asarray(occ_a)
+    occ_s_h = np.asarray(occ_s)
+    bit_exact = bool(np.array_equal(occ_a_h, occ_s_h))
+    log(stage="parity", bit_exact=bit_exact,
+        occupied_accum=int(occ_a_h.sum()), occupied_scatter=int(occ_s_h.sum()),
+        calls_accum=int(calls_a), calls_scatter=int(calls_s),
+        diff_cells=int((occ_a_h != occ_s_h).sum()))
+
+    meta, lanes, tridata = plan_a.device_arrays()
+    kw = dict(origin_key=(float(plan_a.origin[0]), float(plan_a.origin[1]),
+                          float(plan_a.origin[2])),
+              vs=plan_a.voxel_size, n_slabs=plan_a.n_slabs,
+              rps_pad=plan_a.rps_pad, xp=plan_a.xp, n_y8=plan_a.n_y8)
+
+    ts_k, ts_f = [], []
+    for i in range(reps):
+        m_i = meta.at[0, 3].set(i)   # vary input bytes: no dispatch coalescing
+        jax.block_until_ready(m_i)
+        t0 = time.time()
+        acc, cnts = _accum_call(m_i, lanes, tridata, **kw)
+        jax.block_until_ready(acc)
+        t1 = time.time()
+        occ_i, calls_i = _finalize(acc, cnts, dims=plan_a.dims,
+                                   n_y8=plan_a.n_y8)
+        jax.block_until_ready(occ_i)
+        ts_k.append(t1 - t0)
+        ts_f.append(time.time() - t1)
+    log(stage="accum", kernel_ms=round(float(np.median(ts_k)) * 1e3, 1),
+        finalize_ms=round(float(np.median(ts_f)) * 1e3, 1),
+        all_kernel=[round(x * 1e3, 1) for x in ts_k])
+
+    # end-to-end accum (kernel + finalize in one measurement)
+    ts_e = []
+    for i in range(reps):
+        m_i = meta.at[0, 3].set(100 + i)
+        jax.block_until_ready(m_i)
+        t0 = time.time()
+        acc, cnts = _accum_call(m_i, lanes, tridata, **kw)
+        occ_i, calls_i = _finalize(acc, cnts, dims=plan_a.dims,
+                                   n_y8=plan_a.n_y8)
+        jax.block_until_ready(occ_i)
+        ts_e.append(time.time() - t0)
+    log(stage="accum_e2e", ms=round(float(np.median(ts_e)) * 1e3, 1),
+        all=[round(x * 1e3, 1) for x in ts_e],
+        mtris_per_s=round(len(f) / float(np.median(ts_e)) / 1e6, 2))
+
+
+if __name__ == "__main__":
+    main()
