@@ -235,6 +235,48 @@ def main():
     log(f"voxelize: {t_build*1e3:.1f} ms ({len(f)/t_build/1e6:.2f} Mtris/s), "
         f"{n_occ} occupied")
 
+    # ---- slab-accumulation voxelizer (round-5): the Pallas kernel that
+    # bypasses the XLA scatter engine (ops/pallas/voxel_accum).  Used
+    # for the reported build time ONLY if its occupancy is bit-exact vs
+    # the scatter path on this very mesh (in-bench gate) and it is
+    # faster; the scatter path remains the deform-capable reference.
+    t_build_scatter = t_build
+    vox_path = "scatter"
+    try:
+        from voxelray_tpu.ops.pallas.voxel_accum import (build_accum_plan,
+                                                         voxelize_accum)
+        t0 = time.time()
+        plan_a = build_accum_plan(v, f, vs, bb_min=bb_min, bb_max=bb_max)
+        plan_a_s = time.time() - t0
+        occ_a, calls_a = voxelize_accum(plan_a)
+        # occupancy must be bit-exact; set_calls may drift a few counts
+        # in millions (Mosaic FMA contraction flips borderline SAT hits
+        # on already-covered cells — the PARITY.md envelope; measured
+        # +3 in 6.1M on chip)
+        _, calls_s = voxelize_planned(plan, v_dev)
+        accum_exact = bool(
+            np.array_equal(np.asarray(occ_a), np.asarray(occ))
+            and abs(int(calls_a) - int(calls_s))
+            <= max(16, int(2e-6 * int(calls_s))))
+        salt = [0]
+
+        def build_accum():
+            salt[0] += 1
+            occ2, _ = voxelize_accum(plan_a, salt=salt[0])
+            return occ2
+
+        t_build_a, _ = time_fn(build_accum, iters=max(1, runs // 2),
+                               warmup=1)
+        log(f"voxelize-accum: {t_build_a*1e3:.1f} ms "
+            f"({len(f)/t_build_a/1e6:.2f} Mtris/s), bit_exact="
+            f"{accum_exact}, plan {plan_a_s:.1f}s, "
+            f"groups {plan_a.n_groups}")
+        if accum_exact and t_build_a < t_build:
+            t_build = t_build_a
+            vox_path = "accum"
+    except Exception as e:  # never lose the bench to the new path
+        log(f"voxelize-accum failed: {type(e).__name__}: {e}")
+
     # ---- AABB extraction + memory (the reference Benchmaker triple:
     # build ms / extract ms / bytes, hello_vulkan.h:224-239) -------------
     grid = GridBool.from_occupancy(occ, bb_min, vs)
@@ -268,6 +310,41 @@ def main():
     t_floor, _ = time_fn(lambda: noop(grid.words), iters=3, warmup=1)
     log(f"aabb extract: {t_extract*1e3:.1f} ms, grid {mem_bytes} bytes "
         f"(dispatch floor {t_floor*1e3:.1f} ms)")
+
+    # ---- pipelined Benchmaker triple (VERDICT r4 item 9): report
+    # voxelize/extract in the same K-dispatches-one-sync form as the
+    # render headline, so the triple is comparable to the reference's
+    # without mentally subtracting the ~28 ms tunnel dispatch floor.
+    # Inputs are fresh buffers with identical values per call (the
+    # runtime coalesces identical dispatches, CLAUDE.md #9).
+    def pipelined_calls(calls):
+        jax.block_until_ready([c() for c in calls])       # warm
+        best = np.inf
+        for _ in range(2):
+            t0 = time.perf_counter()
+            jax.block_until_ready([c() for c in calls])
+            best = min(best, (time.perf_counter() - t0) / len(calls))
+        return best
+
+    kp = 6
+    if vox_path == "accum":
+        vox_calls = [
+            (lambda i=i: voxelize_accum(plan_a, salt=1000 + i)[0])
+            for i in range(kp)]
+    else:
+        v_copies = [v_dev.at[0, 0].add(0.0) for _ in range(kp)]
+        vox_calls = [(lambda i=i: voxelize_planned(plan, v_copies[i])[0])
+                     for i in range(kp)]
+    t_build_pipe = pipelined_calls(vox_calls)
+    import dataclasses as _dc
+    w_copies = [grid.words.at[0].add(jnp.uint32(0)) for _ in range(kp)]
+    g_copies = [_dc.replace(grid, words=w) for w in w_copies]
+    ext_calls = [(lambda i=i: g_copies[i].get_aabbs_fixed(
+        capacity=1 << 20, word_capacity=wcap, group_capacity=gcap))
+        for i in range(kp)]
+    t_extract_pipe = pipelined_calls(ext_calls)
+    log(f"pipelined triple: voxelize {t_build_pipe*1e3:.1f} ms, "
+        f"extract {t_extract_pipe*1e3:.1f} ms")
 
     # ---- render (timed) -----------------------------------------------
     scene = build_scene(models=None, grid=grid)
@@ -423,6 +500,8 @@ def main():
         "vs_baseline": round(prim_mrays / 100.0, 4),
         "voxelize_ms": round(t_build * 1e3, 2),
         "voxelize_mtris_per_s": round(len(f) / t_build / 1e6, 2),
+        "voxelize_path": vox_path,
+        "voxelize_scatter_ms": round(t_build_scatter * 1e3, 2),
         "render_ms": round(t_render * 1e3, 2),
         "shadowed_mrays_s": round(mrays, 2),
         "primary_mrays_s": round(prim_mrays, 2),
@@ -431,6 +510,8 @@ def main():
         "primary_latency_ms": round(t_prim_lat * 1e3, 2),
         "pipelined_frames": k_frames,
         "aabb_extract_ms": round(t_extract * 1e3, 2),
+        "voxelize_pipelined_ms": round(t_build_pipe * 1e3, 2),
+        "aabb_extract_pipelined_ms": round(t_extract_pipe * 1e3, 2),
         "dispatch_floor_ms": round(t_floor * 1e3, 2),
         "grid_bytes": int(mem_bytes),
         "occupied_voxels": n_occ,

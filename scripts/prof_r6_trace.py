@@ -74,6 +74,26 @@ def main():
     mats = [c.matrices(W, H)[2:] for c in cams]
     mats = [(jnp.asarray(vi), jnp.asarray(pi)) for vi, pi in mats]
 
+    # isolated pipelined trace (r4 comparable: trace_ff8 was 48.3 ms)
+    from voxelray_tpu.ops.intersect import make_camera_rays
+    from voxelray_tpu.ops.traverse_fast import trace_grid_fast
+    from voxelray_tpu.render.pipeline import _tile_rays
+    rays = []
+    for vi, pi in mats:
+        o, d = make_camera_rays(W, H, vi, pi)
+        rays.append((_tile_rays(o, H, W), _tile_rays(d, H, W)))
+    jax.block_until_ready(rays)
+
+    def tr(o, d):
+        return trace_grid_fast(o, d, scene.accel)
+    jax.block_until_ready(tr(*rays[0]))
+    t0 = time.time()
+    outs = [tr(*r) for r in rays]
+    jax.block_until_ready(outs)
+    log(stage="timing", tag="trace_fusedinit",
+        ms=round((time.time() - t0) / len(rays) * 1e3, 1),
+        hits=int(np.isfinite(np.asarray(outs[0][0])).sum()))
+
     for shadows, tag in ((False, "primary"), (True, "shadowed")):
         def frame(vi, pi):
             return render_image(scene, vi, pi, width=W, height=H,

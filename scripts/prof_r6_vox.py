@@ -33,23 +33,37 @@ def main():
     log(tris=len(f), dims=list(dims), vs=vs)
 
     # -- current scatter path ------------------------------------------
-    t0 = time.time()
-    plan_s = plan_voxelize(v, f, vs, bb_min=bb_min, bb_max=bb_max)
-    log(stage="plan_scatter", s=round(time.time() - t0, 1))
-    v_dev = jnp.asarray(v)
-    occ_s, calls_s = voxelize_planned(plan_s, v_dev)
-    jax.block_until_ready(occ_s)
+    # the fused scatter program compiles ~20 min through the tunnel, so
+    # its occupancy (the parity reference) is cached on disk across runs
+    import os
     reps = 6
-    ts = []
-    for i in range(reps):
-        vd = v_dev * (1.0 + 0.0 * i)  # fresh input each rep
+    cache = "/tmp/vox_ref_occ.npz"
+    if os.path.exists(cache) and os.environ.get("SKIP_SCATTER_TIMING"):
+        z = np.load(cache)
+        occ_s, calls_s = z["occ"], int(z["calls"])
+        log(stage="scatter", cached=True, occupied=int(occ_s.sum()),
+            calls=int(calls_s))
+        occ_s = jnp.asarray(occ_s)
+    else:
         t0 = time.time()
-        occ_i, calls_i = voxelize_planned(plan_s, vd)
-        jax.block_until_ready(occ_i)
-        ts.append(time.time() - t0)
-    log(stage="scatter", ms=round(float(np.median(ts)) * 1e3, 1),
-        all=[round(x * 1e3, 1) for x in ts],
-        occupied=int(np.asarray(occ_s).sum()), calls=int(calls_s))
+        plan_s = plan_voxelize(v, f, vs, bb_min=bb_min, bb_max=bb_max)
+        log(stage="plan_scatter", s=round(time.time() - t0, 1))
+        v_dev = jnp.asarray(v)
+        occ_s, calls_s = voxelize_planned(plan_s, v_dev)
+        jax.block_until_ready(occ_s)
+        np.savez_compressed(cache, occ=np.asarray(occ_s),
+                            calls=int(calls_s))
+    if not os.environ.get("SKIP_SCATTER_TIMING"):
+        ts = []
+        for i in range(reps):
+            vd = v_dev * (1.0 + 0.0 * i)  # fresh input each rep
+            t0 = time.time()
+            occ_i, calls_i = voxelize_planned(plan_s, vd)
+            jax.block_until_ready(occ_i)
+            ts.append(time.time() - t0)
+        log(stage="scatter", ms=round(float(np.median(ts)) * 1e3, 1),
+            all=[round(x * 1e3, 1) for x in ts],
+            occupied=int(np.asarray(occ_s).sum()), calls=int(calls_s))
 
     # -- accumulation kernel -------------------------------------------
     t0 = time.time()
@@ -68,7 +82,7 @@ def main():
         calls_accum=int(calls_a), calls_scatter=int(calls_s),
         diff_cells=int((occ_a_h != occ_s_h).sum()))
 
-    meta, lanes, tridata = plan_a.device_arrays()
+    slab_a, first_a, rowb_a, lanes, tridata = plan_a.device_arrays()
     kw = dict(origin_key=(float(plan_a.origin[0]), float(plan_a.origin[1]),
                           float(plan_a.origin[2])),
               vs=plan_a.voxel_size, n_slabs=plan_a.n_slabs,
@@ -76,10 +90,11 @@ def main():
 
     ts_k, ts_f = [], []
     for i in range(reps):
-        m_i = meta.at[0, 3].set(i)   # vary input bytes: no dispatch coalescing
-        jax.block_until_ready(m_i)
+        salt = jnp.full((1,), i, jnp.int32)
+        jax.block_until_ready(salt)
         t0 = time.time()
-        acc, cnts = _accum_call(m_i, lanes, tridata, **kw)
+        acc, cnts = _accum_call(slab_a, first_a, rowb_a, salt, lanes,
+                                tridata, **kw)
         jax.block_until_ready(acc)
         t1 = time.time()
         occ_i, calls_i = _finalize(acc, cnts, dims=plan_a.dims,
@@ -94,12 +109,8 @@ def main():
     # end-to-end accum (kernel + finalize in one measurement)
     ts_e = []
     for i in range(reps):
-        m_i = meta.at[0, 3].set(100 + i)
-        jax.block_until_ready(m_i)
         t0 = time.time()
-        acc, cnts = _accum_call(m_i, lanes, tridata, **kw)
-        occ_i, calls_i = _finalize(acc, cnts, dims=plan_a.dims,
-                                   n_y8=plan_a.n_y8)
+        occ_i, calls_i = voxelize_accum(plan_a, salt=100 + i)
         jax.block_until_ready(occ_i)
         ts_e.append(time.time() - t0)
     log(stage="accum_e2e", ms=round(float(np.median(ts_e)) * 1e3, 1),

@@ -231,9 +231,11 @@ def test_zslab_trace_matches_monolithic(mesh8):
                        rtol=2e-6, atol=0)
 
 
-def test_zslab_render_matches_replicated(mesh8):
+@pytest.mark.parametrize("backend", ["dda", "fast"])
+def test_zslab_render_matches_replicated(mesh8, backend):
     """Full shaded+shadowed frame with the grid sharded over Z-slabs
-    matches the replicated dda render (VERDICT r3 item 7)."""
+    matches the replicated dda render (VERDICT r3 item 7; the fast
+    variant is the production-speed slab path of VERDICT r4 item 3)."""
     from voxelray_tpu.parallel.comm import render_zslab_sharded
 
     v, f = meshes.bunny_like(2)
@@ -244,6 +246,50 @@ def test_zslab_render_matches_replicated(mesh8):
     a = np.asarray(render_image(scene, vi, pi, width=W, height=H,
                                 backend="dda"))
     b = np.asarray(render_zslab_sharded(scene, vi, pi, mesh8,
-                                        width=W, height=H))
+                                        width=W, height=H,
+                                        backend=backend))
     assert a.shape == b.shape
     assert np.allclose(a, b, rtol=2e-6, atol=1e-7)
+
+
+def test_zslab_fast_accel_trace_bit_exact():
+    """build_accel_slab per-slab traces, min-merged, must reproduce the
+    monolithic fast trace BIT-exactly on hit cells and t: every
+    coordinate expression in the slab accel is global, so this is exact
+    equality, not a tolerance (VERDICT r4 item 3 done-criterion)."""
+    from voxelray_tpu.ops.intersect import make_camera_rays
+    from voxelray_tpu.ops.traverse_fast import (build_accel,
+                                                build_accel_slab,
+                                                trace_grid_fast)
+
+    v, f = meshes.bunny_like(2)
+    grid = GridBool.from_mesh(v, f, 0.09)
+    occ = np.asarray(grid.occ)
+    nz, ny, nx = occ.shape
+    accel = build_accel(occ, grid.origin, grid.voxel_size)
+    W, H = 64, 32
+    _, _, vi, pi = Camera().matrices(W, H)
+    o, d = make_camera_rays(W, H, vi, pi)
+    t_m, lin_m = trace_grid_fast(o.reshape(-1, 3), d.reshape(-1, 3),
+                                 accel, chunk=8)
+    t_m, lin_m = np.asarray(t_m), np.asarray(lin_m)
+
+    n_slabs = 3
+    nzs = -(-(-(-nz // n_slabs)) // 8) * 8
+    occp = np.pad(occ, ((0, nzs * n_slabs - nz), (0, 0), (0, 0)))
+    t_best = np.full_like(t_m, np.inf)
+    lin_best = np.full_like(lin_m, -1)
+    for i in range(n_slabs):
+        sl = build_accel_slab(occp[i * nzs:(i + 1) * nzs], i * nzs, nz,
+                              grid.origin, grid.voxel_size)
+        t_s, lin_s = trace_grid_fast(o.reshape(-1, 3), d.reshape(-1, 3),
+                                     sl, chunk=8)
+        t_s, lin_s = np.asarray(t_s), np.asarray(lin_s)
+        take = t_s < t_best
+        t_best = np.where(take, t_s, t_best)
+        lin_best = np.where(take, lin_s, lin_best)
+    hits = np.isfinite(t_m)
+    assert np.array_equal(hits, np.isfinite(t_best))
+    assert np.array_equal(lin_m[hits], lin_best[hits])
+    assert np.array_equal(t_m[hits], t_best[hits])
+    assert hits.any()

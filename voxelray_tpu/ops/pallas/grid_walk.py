@@ -49,7 +49,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["coarse_walk", "mux_lookup", "LANES"]
+__all__ = ["coarse_walk", "coarse_walk_init", "mux_lookup", "LANES"]
 
 LANES = 128
 UNROLL = 16
@@ -88,15 +88,61 @@ def mux_lookup(table_ref, word_idx, bq, hoisted=None):
     return out
 
 
-def _make_kernel(bdims, origin, brick_world, max_steps, bq, k_hits):
+def _fused_init(ox, oy, oz, dx, dy, dz, tmin, tmax, bdims, origin, bw):
+    """The _init_state bbox clip + entry-cell seed, in-kernel.
+
+    Exact traverse_fast._init_state expression shapes (the t_min
+    fast-forward included), so round 1 with fused init walks from the
+    same cell the XLA init stage would produce.  Fusing it removes the
+    separate init program plus the 4 full-width state arrays it
+    materialized as walk inputs.
+    """
+    bx, by, bz = bdims
+    ogx, ogy, ogz = (np.float32(origin[0]), np.float32(origin[1]),
+                     np.float32(origin[2]))
+    gmx = np.float32(ogx + np.float32(bx) * bw)
+    gmy = np.float32(ogy + np.float32(by) * bw)
+    gmz = np.float32(ogz + np.float32(bz) * bw)
+    inv_x, inv_y, inv_z = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    tbx, tby, tbz = inv_x * (ogx - ox), inv_y * (ogy - oy), \
+        inv_z * (ogz - oz)
+    ttx, tty, ttz = inv_x * (gmx - ox), inv_y * (gmy - oy), \
+        inv_z * (gmz - oz)
+    tnx, tny, tnz = (jnp.minimum(tbx, ttx), jnp.minimum(tby, tty),
+                     jnp.minimum(tbz, ttz))
+    tfx, tfy, tfz = (jnp.maximum(tbx, ttx), jnp.maximum(tby, tty),
+                     jnp.maximum(tbz, ttz))
+    t_enter = jnp.maximum(jnp.maximum(tnx, tny), tnz)
+    t_exit = jnp.minimum(jnp.minimum(tfx, tfy), tfz)
+    lo = jnp.maximum(jnp.maximum(t_enter, 0.0), tmin)
+    t_start = lo + np.float32(1e-7)
+    ok = ((t_exit > jnp.maximum(t_enter, 0.0)) & (t_start <= tmax)
+          & (t_start <= t_exit + np.float32(1e-7)))
+    px = ox + dx * t_start
+    py = oy + dy * t_start
+    pz = oz + dz * t_start
+    cx = jnp.clip(jnp.floor((px - ogx) / bw).astype(jnp.int32), 0, bx - 1)
+    cy = jnp.clip(jnp.floor((py - ogy) / bw).astype(jnp.int32), 0, by - 1)
+    cz = jnp.clip(jnp.floor((pz - ogz) / bw).astype(jnp.int32), 0, bz - 1)
+    return cx, cy, cz, ok
+
+
+def _make_kernel(bdims, origin, brick_world, max_steps, bq, k_hits,
+                 fused_init=False):
     bx, by, bz = bdims
     ogx, ogy, ogz = (np.float32(origin[0]), np.float32(origin[1]),
                      np.float32(origin[2]))
     bw = np.float32(brick_world)
 
-    def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-               cx_ref, cy_ref, cz_ref, act_ref, tmax_ref, table_ref,
-               hit_ref, ocx_ref, ocy_ref, ocz_ref, ocont_ref):
+    def kernel(*refs):
+        if fused_init:
+            (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmin_ref,
+             tmax_ref, table_ref, hit_ref, ocx_ref, ocy_ref, ocz_ref,
+             ocont_ref) = refs
+        else:
+            (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, cx_ref,
+             cy_ref, cz_ref, act_ref, tmax_ref, table_ref, hit_ref,
+             ocx_ref, ocy_ref, ocz_ref, ocont_ref) = refs
         # loop-invariant broadcast of the brick-bitmask rows (small tables)
         rows_bc = hoist_rows(table_ref, bq)
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
@@ -170,11 +216,20 @@ def _make_kernel(bdims, origin, brick_world, max_steps, bq, k_hits):
             return jnp.logical_and(state[6] < max_steps,
                                    jnp.any(state[3] != 0))
 
-        init = (cx_ref[:], cy_ref[:], cz_ref[:],
-                (act_ref[:] != 0).astype(jnp.int32),
-                tuple(jnp.full((bq, LANES), -1, jnp.int32)
-                      for _ in range(k_hits)),
-                jnp.zeros((bq, LANES), jnp.int32), jnp.int32(0))
+        if fused_init:
+            icx, icy, icz, iok = _fused_init(
+                ox, oy, oz, dx, dy, dz, tmin_ref[:], tmax,
+                bdims, origin, bw)
+            init = (icx, icy, icz, iok.astype(jnp.int32),
+                    tuple(jnp.full((bq, LANES), -1, jnp.int32)
+                          for _ in range(k_hits)),
+                    jnp.zeros((bq, LANES), jnp.int32), jnp.int32(0))
+        else:
+            init = (cx_ref[:], cy_ref[:], cz_ref[:],
+                    (act_ref[:] != 0).astype(jnp.int32),
+                    tuple(jnp.full((bq, LANES), -1, jnp.int32)
+                          for _ in range(k_hits)),
+                    jnp.zeros((bq, LANES), jnp.int32), jnp.int32(0))
         cx, cy, cz, active_i, hits, nhit, _ = jax.lax.while_loop(
             cond, body_unrolled, init)
         for s in range(k_hits):
@@ -193,7 +248,8 @@ def _make_kernel(bdims, origin, brick_world, max_steps, bq, k_hits):
     return kernel
 
 
-def _make_kernel_2l(bdims, origin, brick_world, max_steps, bq, k_hits):
+def _make_kernel_2l(bdims, origin, brick_world, max_steps, bq, k_hits,
+                    fused_init=False):
     """Two-level walk: per-lane two-speed DDA (fused, no phases).
 
     Each iteration, every active lane takes ONE step sized by where it
@@ -222,9 +278,15 @@ def _make_kernel_2l(bdims, origin, brick_world, max_steps, bq, k_hits):
                      np.float32(origin[2]))
     bw = np.float32(brick_world)
 
-    def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-               cx_ref, cy_ref, cz_ref, act_ref, tmax_ref, table_ref,
-               l2_ref, hit_ref, ocx_ref, ocy_ref, ocz_ref, ocont_ref):
+    def kernel(*refs):
+        if fused_init:
+            (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmin_ref,
+             tmax_ref, table_ref, l2_ref, hit_ref, ocx_ref, ocy_ref,
+             ocz_ref, ocont_ref) = refs
+        else:
+            (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, cx_ref,
+             cy_ref, cz_ref, act_ref, tmax_ref, table_ref, l2_ref,
+             hit_ref, ocx_ref, ocy_ref, ocz_ref, ocont_ref) = refs
         rows_bc = hoist_rows(table_ref, bq)
         l2_bc = hoist_rows(l2_ref, bq)
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
@@ -340,11 +402,20 @@ def _make_kernel_2l(bdims, origin, brick_world, max_steps, bq, k_hits):
             return jnp.logical_and(state[6] < max_steps,
                                    jnp.any(state[3] != 0))
 
-        init = (cx_ref[:], cy_ref[:], cz_ref[:],
-                (act_ref[:] != 0).astype(jnp.int32),
-                tuple(jnp.full((bq, LANES), -1, jnp.int32)
-                      for _ in range(k_hits)),
-                jnp.zeros((bq, LANES), jnp.int32), jnp.int32(0))
+        if fused_init:
+            icx, icy, icz, iok = _fused_init(
+                ox, oy, oz, dx, dy, dz, tmin_ref[:], tmax,
+                bdims, origin, bw)
+            init = (icx, icy, icz, iok.astype(jnp.int32),
+                    tuple(jnp.full((bq, LANES), -1, jnp.int32)
+                          for _ in range(k_hits)),
+                    jnp.zeros((bq, LANES), jnp.int32), jnp.int32(0))
+        else:
+            init = (cx_ref[:], cy_ref[:], cz_ref[:],
+                    (act_ref[:] != 0).astype(jnp.int32),
+                    tuple(jnp.full((bq, LANES), -1, jnp.int32)
+                          for _ in range(k_hits)),
+                    jnp.zeros((bq, LANES), jnp.int32), jnp.int32(0))
         cx, cy, cz, active_i, hits, nhit, _ = jax.lax.while_loop(
             cond, body_unrolled, init)
         for s in range(k_hits):
@@ -415,6 +486,79 @@ def coarse_walk(ox, oy, oz, dx, dy, dz, cx, cy, cz, active, tmax, table,
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec((bq, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)] * 11
+        + table_specs,
+        out_specs=[pl.BlockSpec((k_hits, bq, LANES), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((bq, LANES), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)] * 4,
+    )
+
+    hit, ncx, ncy, ncz, cont = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=jax.default_backend() != "tpu",
+    )(*operands)
+
+    unpad = lambda x: x.reshape(-1)[:n]
+    hitk = hit.reshape(k_hits, -1)[:, :n]
+    return (hitk, unpad(ncx), unpad(ncy), unpad(ncz), unpad(cont))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bdims", "origin_key", "brick_world", "bq", "k_hits"),
+)
+def coarse_walk_init(ox, oy, oz, dx, dy, dz, tmin, tmax, table,
+                     l2=None, *, bdims, origin_key, brick_world, bq=64,
+                     k_hits=1):
+    """coarse_walk with the grid-entry init fused in-kernel.
+
+    Round-1 form for full-width traces: instead of a separate XLA init
+    stage materializing (cx, cy, cz, active) for the walk to re-read,
+    the kernel computes the bbox clip + entry cell from the rays
+    directly (exact _init_state expression shapes).  Removes one
+    program and 4 full-width state arrays from the frame.  Returns the
+    same (hits, ncx, ncy, ncz, cont) contract.
+    """
+    n = ox.shape[0]
+    per_block = bq * LANES
+    n_blocks = max(1, -(-n // per_block))
+    pad = n_blocks * per_block - n
+
+    def prep(x, fill=0):
+        x = jnp.pad(x, (0, pad), constant_values=fill)
+        return x.reshape(n_blocks * bq, LANES)
+
+    bx, by, bz = bdims
+    max_steps = bx + by + bz + 3
+    if l2 is None:
+        kernel = _make_kernel(bdims, origin_key, brick_world, max_steps,
+                              bq, k_hits, fused_init=True)
+    else:
+        kernel = _make_kernel_2l(bdims, origin_key, brick_world,
+                                 max_steps, bq, k_hits, fused_init=True)
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((k_hits, n_blocks * bq, LANES), jnp.int32),
+    ] + [jax.ShapeDtypeStruct((n_blocks * bq, LANES), jnp.int32)
+         for _ in range(4)]
+
+    table_specs = [pl.BlockSpec(table.shape, lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)]
+    operands = [prep(ox), prep(oy), prep(oz),
+                prep(dx, 1.0), prep(dy, 1.0), prep(dz, 1.0),
+                prep(tmin), prep(tmax),
+                table]
+    if l2 is not None:
+        table_specs.append(pl.BlockSpec(l2.shape, lambda i: (0, 0),
+                                        memory_space=pltpu.VMEM))
+        operands.append(l2)
+
+    grid_spec = pl.GridSpec(
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec((bq, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] * 8
         + table_specs,
         out_specs=[pl.BlockSpec((k_hits, bq, LANES), lambda i: (0, i, 0),
                                 memory_space=pltpu.VMEM)]

@@ -141,11 +141,14 @@ def _make_kernel(origin, vs, rps_pad, xp, n_y8):
         sep |= (nl1 >= _EPS) & (jnp.abs(s) > r)
         return ~sep
 
-    def kernel(meta_ref, lanes_ref, tridata_ref, acc_ref, cnt_ref):
+    def kernel(slab_ref, first_ref, rowb_ref, salt_ref, lanes_ref,
+               tridata_ref, acc_ref, cnt_ref):
         i = pl.program_id(0)
-        slab = meta_ref[i, 0]
-        first = meta_ref[i, 1]
-        row_base = meta_ref[i, 2]
+        slab = slab_ref[i]
+        first = first_ref[i]
+        # row_base is bucket*128 by construction; Mosaic needs the
+        # windowed acc load/store offset provably sublane-aligned
+        row_base = pl.multiple_of(rowb_ref[i], 128)
 
         @pl.when(first == 1)
         def _():
@@ -171,10 +174,10 @@ def _make_kernel(origin, vs, rps_pad, xp, n_y8):
             hit = (xj < xend) & sat_cell(cx, cy, cz, v)
             hits.append(hit)
 
-        cnt = jnp.zeros((), jnp.int32)
+        cnt = jnp.zeros((8, 128), jnp.int32)
         for h in hits:
-            cnt = cnt + jnp.sum(h.astype(jnp.int32))
-        cnt_ref[0, 0] = cnt
+            cnt = cnt + h.astype(jnp.int32)
+        cnt_ref[0] = cnt
 
         row_rel = row - row_base
         upd = jnp.zeros((RW, xp), jnp.float32)
@@ -182,17 +185,20 @@ def _make_kernel(origin, vs, rps_pad, xp, n_y8):
         c_iota = jax.lax.broadcasted_iota(jnp.int32, (xp, 128), 0)
         for g in range(8):
             # A (RW, 128): row one-hot of sub-batch g's 128 lanes
-            a = (r_iota == row_rel[g:g + 1, :]).astype(jnp.bfloat16)
+            # (broadcasts materialized explicitly + masks combined by
+            # f32 arithmetic — Mosaic rejects mixed-tiling i1 ANDs)
+            row_b = jnp.broadcast_to(row_rel[g:g + 1, :], (RW, 128))
+            a = (r_iota == row_b).astype(jnp.bfloat16)
             # Bt (xp, 128): the lane's 4-cell hit run placed at x0..x0+3
-            d = c_iota - x0[g:g + 1, :]
-            hs = jnp.zeros((xp, 128), jnp.bfloat16)
+            d = c_iota - jnp.broadcast_to(x0[g:g + 1, :], (xp, 128))
+            hs = jnp.zeros((xp, 128), jnp.float32)
             for j in range(XRUN):
-                hj = jnp.broadcast_to(hits[j][g:g + 1, :], (xp, 128))
-                hs = hs + jnp.where((d == j) & hj, jnp.bfloat16(1),
-                                    jnp.bfloat16(0))
+                hjf = jnp.broadcast_to(
+                    hits[j][g:g + 1, :].astype(jnp.float32), (xp, 128))
+                hs = hs + jnp.where(d == j, hjf, 0.0)
             # contract over the lane axis (dim 1 of both — no relayout)
             upd = upd + jax.lax.dot_general(
-                a, hs, (((1,), (1,)), ((), ())),
+                a, hs.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
         acc_ref[0, pl.ds(row_base, RW), :] += upd
 
@@ -204,24 +210,27 @@ def _make_kernel(origin, vs, rps_pad, xp, n_y8):
     static_argnames=("origin_key", "vs", "n_slabs", "rps_pad", "xp",
                      "n_y8"),
 )
-def _accum_call(meta, lanes, tridata, *, origin_key, vs, n_slabs,
-                rps_pad, xp, n_y8):
-    n_groups = meta.shape[0]
+def _accum_call(slab_a, first_a, rowb_a, salt_a, lanes, tridata, *,
+                origin_key, vs, n_slabs, rps_pad, xp, n_y8):
+    n_groups = slab_a.shape[0]
     kernel = _make_kernel(origin_key, vs, rps_pad, xp, n_y8)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=4,
         grid=(n_groups,),
         in_specs=[
-            pl.BlockSpec((1, 32, 128), lambda i, m: (i, 0, 0),
+            pl.BlockSpec((1, 32, 128), lambda i, s, fi, rb, sa: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 9, 8, 128), lambda i, m: (i, 0, 0, 0),
+            pl.BlockSpec((1, 9, 8, 128),
+                         lambda i, s, fi, rb, sa: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, rps_pad, xp), lambda i, m: (m[i, 0], 0, 0),
+            pl.BlockSpec((1, rps_pad, xp),
+                         lambda i, s, fi, rb, sa: (s[i], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i, m: (i, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, 128),
+                         lambda i, s, fi, rb, sa: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
     )
     acc, cnt = pl.pallas_call(
@@ -229,10 +238,10 @@ def _accum_call(meta, lanes, tridata, *, origin_key, vs, n_slabs,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_slabs, rps_pad, xp), jnp.float32),
-            jax.ShapeDtypeStruct((n_groups, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_groups, 8, 128), jnp.int32),
         ],
         interpret=jax.default_backend() != "tpu",
-    )(meta, lanes, tridata)
+    )(slab_a, first_a, rowb_a, salt_a, lanes, tridata)
     return acc, cnt
 
 
@@ -399,7 +408,13 @@ class AccumPlan:
 
     def device_arrays(self):
         if not hasattr(self, "_dev"):
-            self._dev = (jnp.asarray(self.meta), jnp.asarray(self.lanes),
+            m = self.meta
+            # 1-D scalar-prefetch arrays: a 2-D (nG, 4) SMEM operand is
+            # lane-padded to (nG, 128) and blows the 1 MB SMEM budget
+            self._dev = (jnp.asarray(np.ascontiguousarray(m[:, 0])),
+                         jnp.asarray(np.ascontiguousarray(m[:, 1])),
+                         jnp.asarray(np.ascontiguousarray(m[:, 2])),
+                         jnp.asarray(self.lanes),
                          jnp.asarray(self.tridata))
         return self._dev
 
@@ -418,17 +433,23 @@ def _finalize(acc, cnts, *, dims, n_y8):
     return occ, jnp.sum(cnts)
 
 
-def voxelize_accum(plan: AccumPlan):
+def voxelize_accum(plan: AccumPlan, salt=None):
     """Run the slab-accumulation voxelizer: (occ (Z,Y,X) uint8,
-    set_calls int32).  Exact vs the scatter path (tests pin it)."""
+    set_calls int32).  Exact vs the scatter path (tests pin it).
+
+    salt: optional int written into an unused meta field so repeated
+    benchmark calls differ in input bytes (the axon runtime coalesces
+    identical back-to-back dispatches, CLAUDE.md #9)."""
     nx, ny, nz = plan.dims
     if plan.n_groups == 0:
         occ = jnp.zeros((nz, ny, nx), jnp.uint8)
         calls = jnp.int32(0)
     else:
-        meta, lanes, tridata = plan.device_arrays()
+        slab_a, first_a, rowb_a, lanes, tridata = plan.device_arrays()
+        salt_a = jnp.asarray([0 if salt is None else int(salt)],
+                             jnp.int32)
         acc, cnts = _accum_call(
-            meta, lanes, tridata,
+            slab_a, first_a, rowb_a, salt_a, lanes, tridata,
             origin_key=(float(plan.origin[0]), float(plan.origin[1]),
                         float(plan.origin[2])),
             vs=plan.voxel_size, n_slabs=plan.n_slabs,

@@ -54,10 +54,10 @@ import numpy as np
 
 from .compact import compact_mask
 from .intersect import TMAX, TMIN
-from .pallas.grid_walk import LANES, coarse_walk
+from .pallas.grid_walk import LANES, coarse_walk, coarse_walk_init
 
-__all__ = ["BrickAccel", "build_accel", "trace_grid_fast",
-           "any_hit_grid_fast"]
+__all__ = ["BrickAccel", "build_accel", "build_accel_slab",
+           "trace_grid_fast", "any_hit_grid_fast"]
 
 BRICK = 8
 
@@ -78,6 +78,14 @@ class BrickAccel:
     bdims: tuple = field(metadata=dict(static=True))    # brick dims
     voxel_size: float = field(metadata=dict(static=True))
     origin_key: tuple = field(metadata=dict(static=True))
+    # Z-slab sharding (build_accel_slab): fine covers only brick lins
+    # [fine_off, fine_off + fine.shape[1]) — a z-slab of bricks is a
+    # CONTIGUOUS brick-lin block (lin = x + bx*(y + by*z)), so the big
+    # per-cell table shards by slab while coarse/l2 (tiny) stay full
+    # and every coordinate expression stays global and bit-identical.
+    # DATA (traced) field, not static: under shard_map every device
+    # runs one program with its own offset value.
+    fine_off: Any = 0
 
 
 def build_accel(occ, origin, voxel_size) -> BrickAccel:
@@ -131,6 +139,92 @@ def build_accel(occ, origin, voxel_size) -> BrickAccel:
         voxel_size=float(voxel_size),
         origin_key=(float(origin[0]), float(origin[1]), float(origin[2])),
     )
+
+
+def build_accel_slab(occ_slab, z0, full_nz, origin, voxel_size) \
+        -> BrickAccel:
+    """BrickAccel for a Z-SLAB of a larger grid (>HBM sharding).
+
+    occ_slab: (nzs, ny, nx) uint8 — global z rows [z0, z0 + nzs), z0 a
+    multiple of 8.  The accel's dims/bdims/origin are the FULL grid's
+    (every coordinate expression stays global and bit-identical to the
+    monolithic build_accel), coarse/l2 bitmasks are full-size but tiny
+    (bits only in the slab), and the big per-brick fine table holds
+    only the slab's contiguous brick-lin block (fine_off).  The walk
+    never produces candidates outside the slab (their coarse bits are
+    0), so traversal against this accel returns the monolithic trace
+    restricted to cells in the slab — the per-slab query the zslab
+    render merges with pmin (reference VRAM-residency bound beaten:
+    hello_vulkan.cpp:709-715).
+    """
+    assert z0 % BRICK == 0, "slab boundaries must be brick-aligned"
+    occ_slab = jnp.asarray(occ_slab)
+    nzs, ny, nx = occ_slab.shape
+    nz = full_nz
+    bx, by, bz = -(-nx // BRICK), -(-ny // BRICK), -(-nz // BRICK)
+    z0b = z0 // BRICK
+    bzs = -(-nzs // BRICK)
+    pz = bzs * BRICK - nzs
+    py, px = by * BRICK - ny, bx * BRICK - nx
+    occp = jnp.pad(occ_slab, ((0, pz), (0, py), (0, px)))
+    blocks = occp.reshape(bzs, BRICK, by, BRICK, bx, BRICK) \
+        .transpose(0, 2, 4, 1, 3, 5)
+    bocc_s = (blocks.reshape(bzs, by, bx, -1).max(axis=-1) > 0)
+    n_bricks = bx * by * bz
+    nb_slab = bx * by * bzs
+    fine_off = bx * by * z0b
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+
+    n_words = -(-n_bricks // 32)
+    rows = max(1, -(-n_words // LANES))
+    # the LAST slab may extend past the true grid (caller pads nzs to a
+    # multiple of the slab size) — those bricks are empty by
+    # construction, so trim the placement to the real brick range
+    place = max(0, min(nb_slab, n_bricks - fine_off))
+    flat = jnp.zeros((rows * LANES * 32,), jnp.uint32) \
+        .at[fine_off: fine_off + place].set(
+            bocc_s.reshape(-1)[:place].astype(jnp.uint32))
+    coarse = (flat.reshape(-1, 32) << shifts).sum(axis=1,
+                                                  dtype=jnp.uint32) \
+        .reshape(rows, LANES)
+
+    cell_bits = blocks.reshape(nb_slab, BRICK * BRICK * BRICK) \
+        .astype(jnp.uint32)
+    fine = (cell_bits.reshape(nb_slab, 16, 32) << shifts).sum(
+        axis=-1, dtype=jnp.uint32).transpose(1, 0)
+
+    sbx, sby, sbz = -(-bx // 8), -(-by // 8), -(-bz // 8)
+    zsl = max(0, min(bzs, sbz * 8 - z0b))
+    bocc_full = jnp.zeros((sbz * 8, sby * 8, sbx * 8), bool) \
+        .at[z0b: z0b + zsl, :by, :bx].set(bocc_s[:zsl])
+    socc = bocc_full.reshape(sbz, 8, sby, 8, sbx, 8) \
+        .transpose(0, 2, 4, 1, 3, 5).reshape(sbz, sby, sbx, -1) \
+        .max(axis=-1)
+    n_sup = sbx * sby * sbz
+    s_words = -(-n_sup // 32)
+    s_rows = max(1, -(-s_words // LANES))
+    sflat = jnp.zeros((s_rows * LANES * 32,), jnp.uint32) \
+        .at[: n_sup].set(socc.reshape(-1).astype(jnp.uint32))
+    l2 = (sflat.reshape(-1, 32) << shifts).sum(axis=1, dtype=jnp.uint32) \
+        .reshape(s_rows, LANES)
+
+    origin = np.asarray(origin, np.float32)
+    return BrickAccel(
+        coarse=coarse, fine=fine, l2=l2, origin=jnp.asarray(origin),
+        dims=(nx, ny, nz), bdims=(bx, by, bz),
+        voxel_size=float(voxel_size),
+        origin_key=(float(origin[0]), float(origin[1]), float(origin[2])),
+        fine_off=jnp.int32(fine_off),
+    )
+
+
+def _take_fine(accel, bl):
+    """Gather per-brick fine words; slab accels offset into their
+    fine-table window (clamp keeps dead/-1 lanes in range — their
+    results are masked; monolithic accels have fine_off == 0 and the
+    clip is the same bound the gather already respected)."""
+    bl = jnp.clip(bl - accel.fine_off, 0, accel.fine.shape[1] - 1)
+    return jnp.take(accel.fine, bl, axis=1)
 
 
 def _init_state(o, d, accel, t_max, t_min=None):
@@ -209,7 +303,7 @@ def _fine_resolve_block(o, d, brick_lin, t_max, accel, t_min):
     has = brick_lin >= 0
     bl = jnp.maximum(brick_lin, 0)
     # one gather along axis 1 -> (16, N), then word-major use
-    words = jnp.take(accel.fine, bl, axis=1).transpose(1, 0)  # (N, 16)
+    words = _take_fine(accel, bl).transpose(1, 0)  # (N, 16)
     shifts = jnp.arange(32, dtype=jnp.uint32)
     bits = ((words[:, :, None] >> shifts) & 1).astype(bool)  # (N, 16, 32)
     bits = bits.reshape(-1, 512)
@@ -267,9 +361,20 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
                      fine_unroll=13, resident_groups=None,
                      self_admit=False):
     n = o.shape[0]
-    cx, cy, cz, active = _init_state(
-        o, d, accel, t_max,
-        t_min if getattr(t_min, 'ndim', 0) else None)
+    # FUSED-INIT fast path (round-5): full-width round 1 with no admit
+    # mask computes the bbox clip + entry cell INSIDE the walk kernel
+    # (coarse_walk_init) — the separate init program and its 4
+    # full-width state arrays disappear from the frame.  Compacted
+    # round-1 paths (admit/self_admit) still need the init state at
+    # full width to compact, so they keep the XLA stage.
+    fused1 = admit is None and not self_admit
+    if fused1:
+        cx = cy = cz = jnp.zeros((n,), jnp.int32)   # dummy: round 1
+        active = jnp.ones((n,), bool)               # writes real state
+    else:
+        cx, cy, cz, active = _init_state(
+            o, d, accel, t_max,
+            t_min if getattr(t_min, 'ndim', 0) else None)
     if admit is not None:
         active = active & admit
     elif self_admit:
@@ -351,14 +456,22 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
         ff_list = ff_list[: rounds - 1] + (1,) + ff_list[rounds:]
 
     def one_round(ox, oy, oz, dx, dy, dz, rcx, rcy, rcz, act, tmn, tmx,
-                  fine_frac=fine_frac, k_hits=0):
+                  fine_frac=fine_frac, k_hits=0, walk_init=False):
         m = ox.shape[0]
-        hits, ncx, ncy, ncz, cont = coarse_walk(
-            ox, oy, oz, dx, dy, dz, rcx, rcy, rcz,
-            act.astype(jnp.int32), tmx, accel.coarse,
-            accel.l2 if use_l2 else None,
-            bdims=bdims, origin_key=origin_key, brick_world=bw,
-            bq=chunk, k_hits=k_hits)
+        if walk_init:
+            # round-1 fused init: entry state computed in-kernel
+            hits, ncx, ncy, ncz, cont = coarse_walk_init(
+                ox, oy, oz, dx, dy, dz, tmn, tmx, accel.coarse,
+                accel.l2 if use_l2 else None,
+                bdims=bdims, origin_key=origin_key, brick_world=bw,
+                bq=chunk, k_hits=k_hits)
+        else:
+            hits, ncx, ncy, ncz, cont = coarse_walk(
+                ox, oy, oz, dx, dy, dz, rcx, rcy, rcz,
+                act.astype(jnp.int32), tmx, accel.coarse,
+                accel.l2 if use_l2 else None,
+                bdims=bdims, origin_key=origin_key, brick_world=bw,
+                bq=chunk, k_hits=k_hits)
 
         if fine == "dense":
             # reference path: per-slot dense 512-cell resolve, no
@@ -386,7 +499,7 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
             for s in range(k_hits):
                 hit_s = jnp.where(jnp.isfinite(t), -1, hits[s])
                 bl = jnp.maximum(hit_s, 0)
-                words = jnp.take(accel.fine, bl, axis=1)
+                words = _take_fine(accel, bl)
                 t_s, lin_s = fine_walk(
                     ox, oy, oz, dx, dy, dz, hit_s, words, tmn, tmx,
                     dims=accel_static_dims, bdims=bdims,
@@ -469,8 +582,7 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
             ftmn = tmn
         # ONE gather for all k slots: (16, k*fcap) -> (k, 16, fcap)
         bl = jnp.maximum(bricks_c, 0).reshape(-1)
-        words = jnp.take(accel.fine, bl.reshape(k_hits, fcap)
-                         .reshape(-1), axis=1)
+        words = _take_fine(accel, bl)
         words = words.reshape(16, k_hits, fcap).transpose(1, 0, 2)
         t_c, lin_c = fine_walk_multi(
             fx, fy, fz, fdx, fdy, fdz,
@@ -604,7 +716,8 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
             t, lin, ncx, ncy, ncz, cont = one_round(
                 oxa, oya, oza, dxa, dya, dza, cx, cy, cz,
                 act, t_min_b, t_max, k_hits=k_list[r],
-                fine_frac=ff_list[r])
+                fine_frac=ff_list[r],
+                walk_init=(r == 0 and fused1))
             resolved = jnp.isfinite(t) & act
             best_t = jnp.where(resolved, t, best_t)
             best_lin = jnp.where(resolved, lin, best_lin)
@@ -692,7 +805,7 @@ def _trace_fast_impl(o, d, accel, t_min, t_max, admit, *, accel_static,
                     bq=chunk, k_hits=drain_k)
                 bricks_c = jnp.where((dact > 0)[None, :], hits, -1)
                 bl_idx = jnp.maximum(bricks_c, 0).reshape(-1)
-                words = jnp.take(accel.fine, bl_idx, axis=1)
+                words = _take_fine(accel, bl_idx)
                 words = words.reshape(16, drain_k, cap_ds) \
                     .transpose(1, 0, 2)
                 t_c, lin_c = fine_walk_multi(

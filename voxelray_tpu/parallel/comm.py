@@ -215,7 +215,8 @@ def render_sharded(scene, view_inv, proj_inv, mesh: Mesh, *, width, height,
 
 def render_zslab_sharded(scene, view_inv, proj_inv, mesh: Mesh, *,
                          width, height, light=None,
-                         clear_color=(1.0, 1.0, 1.0, 1.0), shadows=True):
+                         clear_color=(1.0, 1.0, 1.0, 1.0), shadows=True,
+                         backend="fast"):
     """Render with the OCCUPANCY GRID sharded over Z-slabs (SURVEY §5
     "long-context analog"): each device holds only nz/n slabs of the
     grid, every device traces ALL rays against its slab with GLOBAL
@@ -231,6 +232,13 @@ def render_zslab_sharded(scene, view_inv, proj_inv, mesh: Mesh, *,
     Triangle geometry (and shading) stays replicated: the injected
     trace/any-hit closures only replace the VOXEL queries, so the
     shading is byte-for-byte render_rays (pipeline.py).
+
+    backend="fast" (default, round-5): each device holds a
+    build_accel_slab of its slab — full-grid coordinates, slab-resident
+    fine table — and traces through the PRODUCTION Pallas fast path, so
+    >HBM grids render at fast-backend speed (VERDICT r4 item 3).
+    backend="dda" keeps the exhaustive all-XLA slab walk as the
+    semantic reference.
 
     Returns the gamma-corrected (H, W, 4) framebuffer (replicated).
     """
@@ -250,6 +258,8 @@ def render_zslab_sharded(scene, view_inv, proj_inv, mesh: Mesh, *,
     if nz == 0:
         raise ValueError("render_zslab_sharded needs a voxel grid scene")
     nzs = -(-nz // n)
+    if backend == "fast":
+        nzs = -(-nzs // 8) * 8  # brick-aligned slab boundaries
 
     # host-side slab split: (nz, ny, nx) -> (n, nzs*ny*nx), z-padded with
     # empty cells (never hit).  THE point of this path is that each
@@ -257,6 +267,24 @@ def render_zslab_sharded(scene, view_inv, proj_inv, mesh: Mesh, *,
     occ3 = np.asarray(scene.occ_flat, np.uint8).reshape(nz, ny, nx)
     occp = np.pad(occ3, ((0, nzs * n - nz), (0, 0), (0, 0)))
     occ_sh = jnp.asarray(occp.reshape(n, nzs * ny * nx))
+
+    if backend == "fast":
+        # per-slab production accels, stacked for the shard_map (host
+        # one-time scene setup; fine tables shard, coarse/l2 are tiny)
+        from ..ops.traverse_fast import BrickAccel, build_accel_slab
+        slabs = [build_accel_slab(occp[i * nzs:(i + 1) * nzs],
+                                  i * nzs, nz, scene.grid_origin, vs)
+                 for i in range(n)]
+        acc_st = (jnp.stack([s.coarse for s in slabs]),
+                  jnp.stack([s.fine for s in slabs]),
+                  jnp.stack([s.l2 for s in slabs]),
+                  jnp.stack([s.fine_off for s in slabs]))
+        acc_static = (slabs[0].dims, slabs[0].bdims,
+                      slabs[0].voxel_size, slabs[0].origin_key)
+    else:
+        acc_st = (jnp.zeros((n, 1), jnp.uint32),) * 3 \
+            + (jnp.zeros((n,), jnp.int32),)
+        acc_static = None
 
     # replicated scene WITHOUT the full grid payload (the big arrays the
     # sharding exists to split); occ_flat keeps one sentinel cell so the
@@ -273,32 +301,54 @@ def render_zslab_sharded(scene, view_inv, proj_inv, mesh: Mesh, *,
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(), P(axis), P(), P()),
+        in_specs=(P(), P(axis), P(), P(), P(axis), P(axis), P(axis),
+                  P(axis)),
         out_specs=P(),
         check_vma=False,
     )
-    def _render(scene_r, occ_slab, vi, pi):
+    def _render(scene_r, occ_slab, vi, pi, acc_coarse, acc_fine, acc_l2,
+                acc_off):
         z0 = jax.lax.axis_index(axis).astype(jnp.int32) * nzs
         occ_slab = occ_slab.reshape(-1)
         origins, dirs = make_camera_rays(width, height, vi, pi)
 
+        if backend == "fast":
+            from ..ops.traverse_fast import (BrickAccel, any_hit_grid_fast,
+                                             trace_grid_fast)
+            dims_a, bdims_a, vs_a, ok_a = acc_static
+            accel = BrickAccel(
+                coarse=acc_coarse[0], fine=acc_fine[0], l2=acc_l2[0],
+                origin=jnp.asarray(scene_r.grid_origin), dims=dims_a,
+                bdims=bdims_a, voxel_size=vs_a, origin_key=ok_a,
+                fine_off=acc_off[0])
+
+            def trace_slab(o, d, tmn, tmx):
+                return trace_grid_fast(o, d, accel, t_min=tmn, t_max=tmx)
+
+            def occl_slab(o, d, tmn, tmx):
+                return any_hit_grid_fast(o, d, accel, t_min=tmn,
+                                         t_max=tmx)
+        else:
+            def trace_slab(o, d, tmn, tmx):
+                return trace_grid_dda_zslab(
+                    o, d, occ_slab, scene_r.grid_origin, z0,
+                    dims=(nx, ny, nz), nzs=nzs, voxel_size_static=vs,
+                    t_min=tmn, t_max=tmx)
+
+            def occl_slab(o, d, tmn, tmx):
+                t, _ = trace_slab(o, d, tmn, tmx)
+                return jnp.isfinite(t)
+
         def trace_fn(o, d, tmn, tmx):
-            t, lin = trace_grid_dda_zslab(
-                o, d, occ_slab, scene_r.grid_origin, z0,
-                dims=(nx, ny, nz), nzs=nzs, voxel_size_static=vs,
-                t_min=tmn, t_max=tmx)
+            t, lin = trace_slab(o, d, tmn, tmx)
             t_m = jax.lax.pmin(t, axis)
             lin_sel = jnp.where(jnp.isfinite(t) & (t == t_m), lin, imax)
             lin_m = jax.lax.pmin(lin_sel, axis)
             return t_m, jnp.where(jnp.isfinite(t_m), lin_m, -1)
 
         def any_hit_fn(o, d, tmn, tmx):
-            t, _ = trace_grid_dda_zslab(
-                o, d, occ_slab, scene_r.grid_origin, z0,
-                dims=(nx, ny, nz), nzs=nzs, voxel_size_static=vs,
-                t_min=tmn, t_max=tmx)
-            occl = jax.lax.psum(jnp.isfinite(t).astype(jnp.int32),
-                                axis) > 0
+            occl = jax.lax.psum(
+                occl_slab(o, d, tmn, tmx).astype(jnp.int32), axis) > 0
             if scene_r.n_triangles:
                 # replicated triangle occlusion, same helpers as
                 # pipeline._any_hit
@@ -321,4 +371,4 @@ def render_zslab_sharded(scene, view_inv, proj_inv, mesh: Mesh, *,
         return shading.gamma_post(rgba)
 
     return _render(scene_rep, occ_sh, jnp.asarray(view_inv),
-                   jnp.asarray(proj_inv))
+                   jnp.asarray(proj_inv), *acc_st)
