@@ -264,7 +264,7 @@ def test_zslab_fast_accel_trace_bit_exact():
 
     v, f = meshes.bunny_like(2)
     grid = GridBool.from_mesh(v, f, 0.09)
-    occ = np.asarray(grid.occ)
+    occ = np.asarray(grid.occupancy()).astype(np.uint8)
     nz, ny, nx = occ.shape
     accel = build_accel(occ, grid.origin, grid.voxel_size)
     W, H = 64, 32

@@ -1,0 +1,508 @@
+"""Pallas TPU megakernel: the ENTIRE grid trace in one dispatch.
+
+This is the literal TPU analog of the reference's fused driver traversal
+(`vkCmdTraceRaysKHR`, hello_vulkan.cpp:1047): one kernel walks rays
+across bricks, resolves per-voxel hits, and drains stragglers — with
+ZERO host-visible intermediates.  The round-4 attribution proved the
+two-kernel pipeline (grid_walk -> XLA compaction/gather -> brick_fine)
+is glue-bound: isolated components sum ~34 ms while the frame pays ~50
+(compaction ~9, fine-words take ~8, stage-boundary materialization ~15).
+This kernel deletes all three plus the XLA drain.
+
+How the fine words reach the kernel without the XLA gather:
+
+  * The per-brick packed cell words are stored SUPERBRICK-major in HBM:
+    fine_sb[s] is a (64, 128) uint32 tile holding word w of brick-local
+    b at (w*4 + (b>>7), b&127) — one superbrick's 512 bricks x 16 words
+    = 32 KB contiguous.
+  * Each (BQ, 128) block of image-tile-coherent rays runs the two-speed
+    brick walk (grid_walk semantics).  A lane that lands on an occupied
+    brick records it as its PENDING brick and pauses walking.
+  * Between walk bursts the block serves pending bricks one superbrick
+    at a time: sb* = min over pending superbricks (scalar reduce), ONE
+    32 KB DMA HBM->VMEM, then every lane pending in sb* fetches its 16
+    brick words via a 4-row mux and runs the in-register per-voxel DDA
+    (brick_fine slot_body expression shapes — raytrace.rint:46-56).
+    Accepted lanes retire; missed lanes resume walking from the resume
+    position stored at pause time.
+  * Candidate bricks are generated in ray order per lane, and a lane has
+    at most one pending at a time, so the first accepted cell IS the
+    nearest — identical contract to trace_grid_fast/trace_grid_dda.
+
+Exactness: walk and fine expressions are the exact grid_walk/brick_fine
+shapes, so results land in the same FMA-contraction class the bench
+adjudicates (PARITY.md "grazing-cell hits").  A lane terminates only by
+accept, grid exit, or t budget — the kernel is exhaustive by
+construction (no k_hits x rounds coverage bound, no drain); the
+`unresolved` output (lanes alive at the outer-iteration cap) is the
+defensive invariant, asserted 0 by the bench gate.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .grid_walk import LANES, _fused_init
+
+__all__ = ["build_fine_sb", "trace_grid_mega"]
+
+BRICK = 8
+_INF = np.float32(np.inf)
+_IMAX = np.int32(2**31 - 1)
+WALK_UNROLL = 16
+FINE_STEPS = 3 * BRICK + 1   # max cells a ray crosses in one brick
+
+
+def build_fine_sb(fine, bdims):
+    """(16, NB) packed fine words -> (n_sb, 64, 128) superbrick-major.
+
+    fine: the BrickAccel fine table (word-major, brick lin x-fastest).
+    Within superbrick s, flat index w*512 + b (b = brick-local lin,
+    x-fastest) reshaped (64, 128).  Bricks outside bdims are zero.
+    """
+    bx, by, bz = bdims
+    sbx, sby, sbz = -(-bx // 8), -(-by // 8), -(-bz // 8)
+    n_sb = sbx * sby * sbz
+    # host-built index map: sb-major (s, b) -> global brick lin (or NB =
+    # zero pad slot)
+    s = np.arange(n_sb)
+    scx = s % sbx
+    scy = (s // sbx) % sby
+    scz = s // (sbx * sby)
+    b = np.arange(512)
+    lx = b % 8
+    ly = (b // 8) % 8
+    lz = b // 64
+    gx = scx[:, None] * 8 + lx[None, :]
+    gy = scy[:, None] * 8 + ly[None, :]
+    gz = scz[:, None] * 8 + lz[None, :]
+    valid = (gx < bx) & (gy < by) & (gz < bz)
+    lin = gx + bx * (gy + by * gz)
+    nb = fine.shape[1]
+    idx = np.where(valid, lin, nb).astype(np.int32)  # nb -> zero column
+    finep = jnp.pad(fine, ((0, 0), (0, 1)))          # (16, NB+1)
+    # (16, n_sb*512) -> (n_sb, 16, 512) -> (n_sb, 64, 128)
+    words = jnp.take(finep, jnp.asarray(idx.reshape(-1)), axis=1)
+    return words.reshape(16, n_sb, 512).transpose(1, 0, 2) \
+        .reshape(n_sb, 64, 128)
+
+
+def _make_mega_kernel(dims, bdims, origin, voxel_size, bq, serves_per_it,
+                      outer_cap, any_hit, interp):
+    nx, ny, nz = dims
+    bx, by, bz = bdims
+    sbx, sby, sbz = -(-bx // 8), -(-by // 8), -(-bz // 8)
+    n_sb = sbx * sby * sbz
+    ogx, ogy, ogz = (np.float32(origin[0]), np.float32(origin[1]),
+                     np.float32(origin[2]))
+    vs = np.float32(voxel_size)
+    half = np.float32(0.5) * vs
+    bw = np.float32(voxel_size * BRICK)
+
+    def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmin_ref,
+               tmax_ref, act_ref, table_ref, l2_ref, fine_ref,
+               t_ref, lin_ref, alive_ref, fbuf, sem):
+        from .grid_walk import hoist_rows, mux_lookup
+        rows_bc = hoist_rows(table_ref, bq)
+        l2_bc = hoist_rows(l2_ref, bq)
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        t_lo = tmin_ref[:]
+        tmax = tmax_ref[:]
+        inv_x = 1.0 / dx
+        inv_y = 1.0 / dy
+        inv_z = 1.0 / dz
+        sx = jnp.where(dx >= 0, 1, -1).astype(jnp.int32)
+        sy = jnp.where(dy >= 0, 1, -1).astype(jnp.int32)
+        sz = jnp.where(dz >= 0, 1, -1).astype(jnp.int32)
+        fx = (sx > 0).astype(jnp.int32)
+        fy = (sy > 0).astype(jnp.int32)
+        fz = (sz > 0).astype(jnp.int32)
+
+        def l2_occ(cx, cy, cz):
+            lin = (cx >> 3) + sbx * ((cy >> 3) + sby * (cz >> 3))
+            word = mux_lookup(l2_ref, lin >> 5, bq, l2_bc)
+            return ((word >> (lin & 31).astype(jnp.uint32)) & 1) > 0
+
+        def walk_step(st):
+            """One two-speed brick DDA step (grid_walk _make_kernel_2l
+            body, k=1 pending instead of the hits tuple)."""
+            cx, cy, cz, wact, pend, rescont = st
+            walking = (wact != 0) & (pend < 0)
+            skip = walking & ~l2_occ(cx, cy, cz)
+            scx, scy, scz = cx >> 3, cy >> 3, cz >> 3
+            tsx = (ogx + ((scx + fx) * 8).astype(jnp.float32) * bw - ox) \
+                * inv_x
+            tsy = (ogy + ((scy + fy) * 8).astype(jnp.float32) * bw - oy) \
+                * inv_y
+            tsz = (ogz + ((scz + fz) * 8).astype(jnp.float32) * bw - oz) \
+                * inv_z
+            tsx = jnp.where(dx == 0.0, _INF, tsx)
+            tsy = jnp.where(dy == 0.0, _INF, tsy)
+            tsz = jnp.where(dz == 0.0, _INF, tsz)
+            t_ex = jnp.minimum(tsx, jnp.minimum(tsy, tsz))
+            lbx = jnp.floor((ox + dx * t_ex - ogx) / bw).astype(jnp.int32)
+            lby = jnp.floor((oy + dy * t_ex - ogy) / bw).astype(jnp.int32)
+            lbz = jnp.floor((oz + dz * t_ex - ogz) / bw).astype(jnp.int32)
+            lx = jnp.clip(lbx - sx, scx * 8, scx * 8 + 7)
+            ly = jnp.clip(lby - sy, scy * 8, scy * 8 + 7)
+            lz = jnp.clip(lbz - sz, scz * 8, scz * 8 + 7)
+            lx = jnp.where(sx > 0, jnp.maximum(lx, cx), jnp.minimum(lx, cx))
+            ly = jnp.where(sy > 0, jnp.maximum(ly, cy), jnp.minimum(ly, cy))
+            lz = jnp.where(sz > 0, jnp.maximum(lz, cz), jnp.minimum(lz, cz))
+            cx = jnp.where(skip, lx, cx)
+            cy = jnp.where(skip, ly, cy)
+            cz = jnp.where(skip, lz, cz)
+
+            lin = cx + bx * (cy + by * cz)
+            word = mux_lookup(table_ref, lin >> 5, bq, rows_bc)
+            occ = ((word >> (lin & 31).astype(jnp.uint32)) & 1) > 0
+            hit_now = walking & occ
+            pend = jnp.where(hit_now, lin, pend)
+
+            # one exact brick DDA step for every walking lane (the
+            # hit_now lane steps too: its stored cell is the resume
+            # position — grid_walk's "steps once more" rule)
+            tx = (ogx + (cx + fx).astype(jnp.float32) * bw - ox) * inv_x
+            ty = (ogy + (cy + fy).astype(jnp.float32) * bw - oy) * inv_y
+            tz = (ogz + (cz + fz).astype(jnp.float32) * bw - oz) * inv_z
+            tx = jnp.where(dx == 0.0, _INF, tx)
+            ty = jnp.where(dy == 0.0, _INF, ty)
+            tz = jnp.where(dz == 0.0, _INF, tz)
+            tmin = jnp.minimum(tx, jnp.minimum(ty, tz))
+            stepx = walking & (tx == tmin)
+            stepy = walking & (~stepx) & (ty == tmin)
+            stepz = walking & ~(stepx | stepy)
+            cx = cx + jnp.where(stepx, sx, 0)
+            cy = cy + jnp.where(stepy, sy, 0)
+            cz = cz + jnp.where(stepz, sz, 0)
+            inb = ((cx >= 0) & (cx < bx) & (cy >= 0) & (cy < by)
+                   & (cz >= 0) & (cz < bz))
+            cont = inb & (tmin <= tmax)
+            # paused lanes store whether their resume position is live
+            rescont = jnp.where(hit_now, cont.astype(jnp.int32), rescont)
+            # walked-off lanes (no pending recorded this step) die
+            dead = walking & ~hit_now & ~cont
+            wact = jnp.where(dead, 0, wact)
+            return (cx, cy, cz, wact, pend, rescont)
+
+        def fine_resolve(pend_lin, gate):
+            """In-register per-voxel DDA inside the pending brick, fine
+            words muxed from the DMA'd superbrick tile (brick_fine
+            slot_body expression shapes, raytrace.rint:46-56)."""
+            b = jnp.maximum(pend_lin, 0)
+            pbx = b % bx
+            pby = (b // bx) % by
+            pbz = b // (bx * by)
+            blocal = (pbx & 7) + 8 * ((pby & 7) + 8 * (pbz & 7))
+            col = blocal & 127
+            rowsel = blocal >> 7          # 0..3
+            fb = fbuf[:]                  # (64, 128) uint32
+            words = []
+            for w in range(16):
+                out = jnp.zeros((bq, LANES), jnp.uint32)
+                for r in range(4):
+                    tr = jnp.broadcast_to(fb[w * 4 + r: w * 4 + r + 1, :],
+                                          (bq, LANES))
+                    val = jnp.take_along_axis(tr, col, axis=1)
+                    out = jnp.where(rowsel == r, val, out)
+                words.append(out)
+
+            bminx = ogx + (pbx * BRICK).astype(jnp.float32) * vs
+            bminy = ogy + (pby * BRICK).astype(jnp.float32) * vs
+            bminz = ogz + (pbz * BRICK).astype(jnp.float32) * vs
+
+            def axis_entry(bmin, o, inv, d):
+                t0 = (bmin - o) * inv
+                t1 = (bmin + bw - o) * inv
+                return jnp.where(d == 0.0, -_INF, jnp.minimum(t0, t1))
+
+            ex = axis_entry(bminx, ox, inv_x, dx)
+            ey = axis_entry(bminy, oy, inv_y, dy)
+            ez = axis_entry(bminz, oz, inv_z, dz)
+            t_enter = jnp.maximum(jnp.maximum(ex, ey), ez)
+            t_start = jnp.maximum(t_enter, 0.0) + np.float32(1e-7)
+            px = ox + dx * t_start
+            py = oy + dy * t_start
+            pz = oz + dz * t_start
+            lx = jnp.clip(jnp.floor((px - bminx) / vs).astype(jnp.int32),
+                          0, BRICK - 1)
+            ly = jnp.clip(jnp.floor((py - bminy) / vs).astype(jnp.int32),
+                          0, BRICK - 1)
+            lz = jnp.clip(jnp.floor((pz - bminz) / vs).astype(jnp.int32),
+                          0, BRICK - 1)
+
+            def fine_step(sub):
+                lx, ly, lz, best_t, best_lin, act_i = sub
+                act = act_i != 0
+                lin_local = lx + BRICK * (ly + BRICK * lz)
+                wsel = lin_local >> 5
+                lvl = words
+                for bit in (1, 2, 4, 8):
+                    t_ = (wsel & bit) != 0
+                    lvl = [jnp.where(t_, lvl[i + 1], lvl[i])
+                           for i in range(0, len(lvl), 2)]
+                word = lvl[0]
+                occ = ((word >> (lin_local & 31).astype(jnp.uint32)) & 1) \
+                    > 0
+
+                gx = pbx * BRICK + lx
+                gy = pby * BRICK + ly
+                gz = pbz * BRICK + lz
+                ccx = ogx + (gx.astype(jnp.float32) + 0.5) * vs
+                ccy = ogy + (gy.astype(jnp.float32) + 0.5) * vs
+                ccz = ogz + (gz.astype(jnp.float32) + 0.5) * vs
+                tb = inv_x * ((ccx - half) - ox)
+                tt = inv_x * ((ccx + half) - ox)
+                t0 = jnp.minimum(tb, tt)
+                t1 = jnp.maximum(tb, tt)
+                tb = inv_y * ((ccy - half) - oy)
+                tt = inv_y * ((ccy + half) - oy)
+                t0 = jnp.maximum(t0, jnp.minimum(tb, tt))
+                t1 = jnp.minimum(t1, jnp.maximum(tb, tt))
+                tb = inv_z * ((ccz - half) - oz)
+                tt = inv_z * ((ccz + half) - oz)
+                t0 = jnp.maximum(t0, jnp.minimum(tb, tt))
+                t1 = jnp.minimum(t1, jnp.maximum(tb, tt))
+                accept = (t1 > jnp.maximum(t0, 0.0)) & (t0 > 0.0) \
+                    & (t0 >= t_lo) & (t0 <= tmax)
+
+                hit = act & occ & accept
+                best_t = jnp.where(hit, t0, best_t)
+                best_lin = jnp.where(hit, gx + nx * (gy + ny * gz),
+                                     best_lin)
+                act = act & ~hit
+
+                tnx = jnp.where(
+                    dx == 0.0, _INF,
+                    (bminx + (lx + fx).astype(jnp.float32) * vs - ox)
+                    * inv_x)
+                tny = jnp.where(
+                    dy == 0.0, _INF,
+                    (bminy + (ly + fy).astype(jnp.float32) * vs - oy)
+                    * inv_y)
+                tnz = jnp.where(
+                    dz == 0.0, _INF,
+                    (bminz + (lz + fz).astype(jnp.float32) * vs - oz)
+                    * inv_z)
+                tmn = jnp.minimum(tnx, jnp.minimum(tny, tnz))
+                stx = act & (tnx == tmn)
+                sty = act & (~stx) & (tny == tmn)
+                stz = act & ~(stx | sty)
+                lx = lx + jnp.where(stx, sx, 0)
+                ly = ly + jnp.where(sty, sy, 0)
+                lz = lz + jnp.where(stz, sz, 0)
+                inb = ((lx >= 0) & (lx < BRICK) & (ly >= 0) & (ly < BRICK)
+                       & (lz >= 0) & (lz < BRICK))
+                act = act & inb & (tmn <= tmax)
+                return (lx, ly, lz, best_t, best_lin,
+                        act.astype(jnp.int32))
+
+            # while-loop form (brick_fine shape): static unroll on TPU,
+            # single step + early exit in interpret — the 25x straight-
+            # line unroll blew XLA:CPU compile time inside the nested
+            # outer while
+            f_unroll = 13 if not interp else 1
+
+            def f_cond(state):
+                return jnp.logical_and(state[0] < FINE_STEPS,
+                                       jnp.any(state[1][5] != 0))
+
+            def f_body(state):
+                step, sub = state
+                for _ in range(f_unroll):
+                    sub = fine_step(sub)
+                return (step + f_unroll, sub)
+
+            sub0 = (lx, ly, lz,
+                    jnp.full((bq, LANES), _INF, jnp.float32),
+                    jnp.full((bq, LANES), -1, jnp.int32),
+                    gate.astype(jnp.int32))
+            _, sub = jax.lax.while_loop(f_cond, f_body,
+                                        (jnp.int32(0), sub0))
+            return sub[3], sub[4]
+
+        def serve(st, best_t, best_lin):
+            """Serve ONE superbrick: DMA its fine tile, resolve every
+            lane pending there."""
+            cx, cy, cz, wact, pend, rescont = st
+            has_p = pend >= 0
+            b = jnp.maximum(pend, 0)
+            psb = ((b % bx) >> 3) \
+                + sbx * ((((b // bx) % by) >> 3)
+                         + sby * ((b // (bx * by)) >> 3))
+            sb_key = jnp.where(has_p, psb, _IMAX)
+            sb_star = jnp.min(sb_key)
+            sbs = jnp.minimum(sb_star, n_sb - 1)
+            if interp:
+                fbuf[:] = fine_ref[sbs]
+            else:
+                @pl.when(sb_star < _IMAX)
+                def _():
+                    cp = pltpu.make_async_copy(fine_ref.at[sbs], fbuf,
+                                               sem)
+                    cp.start()
+                    cp.wait()
+            gate = has_p & (sb_key == sb_star)
+            ft, flin = fine_resolve(pend, gate)
+            got = gate & jnp.isfinite(ft)
+            best_t = jnp.where(got, ft, best_t)
+            best_lin = jnp.where(got, flin, best_lin)
+            # served lanes: hit -> retire; miss -> resume walking if the
+            # stored resume position was live
+            pend = jnp.where(gate, -1, pend)
+            dead = got | (gate & (rescont == 0))
+            wact = jnp.where(dead, 0, wact)
+            return (cx, cy, cz, wact, pend, rescont), best_t, best_lin
+
+        # ---- init (grid_walk _fused_init expression shapes) ------------
+        icx, icy, icz, iok = _fused_init(
+            ox, oy, oz, dx, dy, dz, t_lo, tmax,
+            (bx, by, bz), (ogx, ogy, ogz), bw)
+        wact0 = (iok & (act_ref[:] != 0)).astype(jnp.int32)
+        st0 = (icx, icy, icz, wact0,
+               jnp.full((bq, LANES), -1, jnp.int32),
+               jnp.zeros((bq, LANES), jnp.int32))
+        bt0 = jnp.full((bq, LANES), _INF, jnp.float32)
+        bl0 = jnp.full((bq, LANES), -1, jnp.int32)
+
+        walk_unroll = WALK_UNROLL if not interp else 1
+        max_walk = (bx + by + bz + 3 + walk_unroll - 1) // walk_unroll + 1
+
+        def walk_cond(carry):
+            st, w = carry
+            return jnp.logical_and(
+                w < max_walk,
+                jnp.any((st[3] != 0) & (st[4] < 0)))
+
+        def walk_chunk(carry):
+            st, w = carry
+            for _ in range(walk_unroll):
+                st = walk_step(st)
+            return (st, w + 1)
+
+        def outer_body(carry):
+            st, best_t, best_lin, it = carry
+            # walk burst: until every live lane is pending or retired
+            # (the while bound is per-burst; per-lane termination is the
+            # DDA's own monotone t/bounds exit)
+            st, _ = jax.lax.while_loop(walk_cond, walk_chunk,
+                                       (st, jnp.int32(0)))
+            for _ in range(serves_per_it):
+                st, best_t, best_lin = serve(st, best_t, best_lin)
+            return (st, best_t, best_lin, it + 1)
+
+        def outer_cond(carry):
+            st, _, _, it = carry
+            return jnp.logical_and(it < outer_cap,
+                                   jnp.any(st[3] != 0))
+
+        st, best_t, best_lin, _ = jax.lax.while_loop(
+            outer_cond, outer_body, (st0, bt0, bl0, jnp.int32(0)))
+        t_ref[:] = best_t
+        lin_ref[:] = best_lin
+        alive_ref[:] = st[3]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dims", "bdims", "origin_key", "voxel_size", "bq",
+                     "serves_per_it", "outer_cap_mul", "any_hit"),
+)
+def _mega_call(o, d, t_min, t_max, admit, coarse, l2, fine_sb, *,
+               dims, bdims, origin_key, voxel_size, bq=16,
+               serves_per_it=2, outer_cap_mul=8, any_hit=False):
+    n = o.shape[0]
+    per_block = bq * LANES
+    n_blocks = max(1, -(-n // per_block))
+    pad = n_blocks * per_block - n
+
+    def prep(x, fill=0):
+        x = jnp.pad(x, (0, pad), constant_values=fill)
+        return x.reshape(n_blocks * bq, LANES)
+
+    bx, by, bz = bdims
+    # every outer iteration with work either advances the walk 16 brick
+    # steps or serves >= 1 pending superbrick; cap scaled by the walk
+    # bound (a lane crosses <= bx+by+bz+3 bricks) — generous, verified
+    # by the `unresolved` output
+    outer_cap = outer_cap_mul * ((bx + by + bz + 3) // WALK_UNROLL + 2)
+
+    interp = jax.default_backend() != "tpu"
+    kernel = _make_mega_kernel(dims, bdims, origin_key, voxel_size, bq,
+                               serves_per_it, outer_cap, any_hit, interp)
+
+    t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    act = (jnp.ones((n,), jnp.int32) if admit is None
+           else admit.astype(jnp.int32))
+
+    ray_spec = pl.BlockSpec((bq, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    fine_space = pltpu.VMEM if interp else pltpu.ANY
+    grid_spec = pl.GridSpec(
+        grid=(n_blocks,),
+        in_specs=[ray_spec] * 9
+        + [pl.BlockSpec(coarse.shape, lambda i: (0, 0),
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec(l2.shape, lambda i: (0, 0),
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec(memory_space=fine_space)],
+        out_specs=[ray_spec] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((64, 128), jnp.uint32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    t, lin, alive = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks * bq, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks * bq, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks * bq, LANES), jnp.int32),
+        ],
+        interpret=interp,
+    )(prep(o[:, 0]), prep(o[:, 1]), prep(o[:, 2]),
+      prep(d[:, 0], 1.0), prep(d[:, 1], 1.0), prep(d[:, 2], 1.0),
+      prep(t_min_b), prep(t_max_b), prep(act),
+      coarse, l2, fine_sb)
+    unpad = lambda x: x.reshape(-1)[:n]
+    return unpad(t), unpad(lin), jnp.sum(alive.reshape(-1)[:n])
+
+
+def trace_grid_mega(origins, dirs, accel, t_min, t_max, admit=None,
+                    bq=16, serves_per_it=2, return_stats=False):
+    """One-dispatch exhaustive nearest-hit trace (t, cell_lin).
+
+    Same contract as trace_grid_fast(drain=True): t = +inf miss,
+    cell_lin = -1.  `accel` must carry a fine_sb table (build_accel
+    builds it).  return_stats=True additionally returns the number of
+    lanes still alive at the outer cap (0 = provably exhaustive).
+    """
+    batch_shape = origins.shape[:-1]
+    o = origins.reshape(-1, 3)
+    d = dirs.reshape(-1, 3)
+    admit_f = None if admit is None else admit.reshape(-1)
+    t_min_in = jnp.asarray(t_min, jnp.float32)
+    if t_min_in.ndim:
+        t_min_in = t_min_in.reshape(-1)
+    t_max_in = jnp.asarray(t_max, jnp.float32)
+    if t_max_in.ndim:
+        t_max_in = t_max_in.reshape(-1)
+    t, lin, alive = _mega_call(
+        o, d, t_min_in, t_max_in, admit_f,
+        accel.coarse, accel.l2, accel.fine_sb,
+        dims=accel.dims, bdims=accel.bdims,
+        origin_key=accel.origin_key, voxel_size=accel.voxel_size,
+        bq=bq, serves_per_it=serves_per_it)
+    if return_stats:
+        return t.reshape(batch_shape), lin.reshape(batch_shape), alive
+    return t.reshape(batch_shape), lin.reshape(batch_shape)

@@ -86,6 +86,10 @@ class BrickAccel:
     # DATA (traced) field, not static: under shard_map every device
     # runs one program with its own offset value.
     fine_off: Any = 0
+    # superbrick-major fine tile table (n_sb, 64, 128) for the one-
+    # dispatch megakernel (ops/pallas/mega_trace.py); None on slab
+    # accels (the zslab path keeps the staged backend).
+    fine_sb: Any = None
 
 
 def build_accel(occ, origin, voxel_size) -> BrickAccel:
@@ -132,12 +136,16 @@ def build_accel(occ, origin, voxel_size) -> BrickAccel:
     l2 = (sflat.reshape(-1, 32) << shifts).sum(axis=1, dtype=jnp.uint32) \
         .reshape(s_rows, LANES)
 
+    from .pallas.mega_trace import build_fine_sb
+    fine_sb = build_fine_sb(fine, (bx, by, bz))
+
     origin = np.asarray(origin, np.float32)
     return BrickAccel(
         coarse=coarse, fine=fine, l2=l2, origin=jnp.asarray(origin),
         dims=(nx, ny, nz), bdims=(bx, by, bz),
         voxel_size=float(voxel_size),
         origin_key=(float(origin[0]), float(origin[1]), float(origin[2])),
+        fine_sb=fine_sb,
     )
 
 
@@ -931,7 +939,7 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
                     resident_frac=4, admit_frac=4, drain=True,
                     drain_frac=64, drain_k=8, fine_unroll=13,
                     resident_groups=None, self_admit=False,
-                    return_stats=False):
+                    return_stats=False, mega=False, mega_opts=()):
     """(t, cell_lin) nearest voxel hit; same contract as trace_grid_dda.
 
     drain=True (default) makes the trace EXHAUSTIVE: rays still active
@@ -983,6 +991,21 @@ def trace_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
     resident_frac=F compacts straggler rays into n/F buffers for rounds
     2+ (1 = no resident compaction).
     """
+    if mega and accel.fine_sb is not None:
+        # one-dispatch megakernel (VERDICT r4 item 1): the whole trace —
+        # walk, per-voxel resolve, drain — in one pallas_call with
+        # in-kernel superbrick DMA; same (t, lin) contract
+        from .pallas.mega_trace import trace_grid_mega
+        out = trace_grid_mega(origins, dirs, accel, t_min, t_max,
+                              admit=admit,
+                              return_stats=bool(return_stats),
+                              **dict(mega_opts))
+        if return_stats == "debug" or return_stats == "full":
+            t_m, lin_m, alive = out
+            z = jnp.int32(0)
+            return ((t_m, lin_m, alive, z, z, z)
+                    if return_stats == "debug" else (t_m, lin_m, alive, z))
+        return out
     batch_shape = origins.shape[:-1]
     o = origins.reshape(-1, 3)
     d = dirs.reshape(-1, 3)
@@ -1030,7 +1053,7 @@ def any_hit_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
                       admit=None, k_hits=4, two_level=None,
                       resident_frac=2, admit_frac=8, fine_frac=None,
                       drain_frac=64, drain_k=8, resident_groups=None,
-                      drain=True):
+                      drain=True, mega=False, mega_opts=()):
     """True where some voxel accepts along the ray (shadow query).
 
     drain=False is an ATTRIBUTION knob only: it skips the
@@ -1064,6 +1087,13 @@ def any_hit_grid_fast(origins, dirs, accel: BrickAccel, t_min=TMIN,
     close-ups overflow the n/8 admit buffer into the drain and stay
     exact — test_any_hit_dense_admit_no_overflow_loss pins this).
     """
+    if mega and accel.fine_sb is not None:
+        # the megakernel retires a lane at its FIRST accepted cell, so
+        # its nearest trace doubles as the any-hit query exactly
+        from .pallas.mega_trace import trace_grid_mega
+        t, _ = trace_grid_mega(origins, dirs, accel, t_min, t_max,
+                               admit=admit, **dict(mega_opts))
+        return jnp.isfinite(t)
     # ff=1: no fine compaction — every admitted ray goes straight to the
     # fine stage.  fine_frac=None keeps this default; drain=False
     # callers get the final round forced full-width in _trace_fast_impl.
