@@ -19,6 +19,11 @@ Env knobs:
   BENCH_RUNS=N                  timed repetitions (default 5)
   BENCH_BACKEND=fast|dda|brute  traversal backend (default fast)
   BENCH_SKIP_PARITY=1           skip the parity gate (debug only)
+  BENCH_MEGA=0                  disable the megakernel trace (round-5
+                                default on: the one-dispatch fused
+                                traversal, ops/pallas/mega_trace.py);
+                                the parity + exhaustiveness gates below
+                                validate whichever path runs
 """
 import json
 import os
@@ -348,6 +353,16 @@ def main():
 
     # ---- render (timed) -----------------------------------------------
     scene = build_scene(models=None, grid=grid)
+    # megakernel on by default when the accel carries fine_sb; the
+    # parity + exhaustiveness gates below validate the SAME path the
+    # frames run.  BENCH_MEGA=0 falls back to the staged pipeline.
+    mega_on = (os.environ.get("BENCH_MEGA", "1") != "0"
+               and backend == "fast" and scene.accel is not None
+               and scene.accel.fine_sb is not None)
+    ropts = dict(fast_opts={"mega": mega_on},
+                 shadow_opts={"mega": mega_on}) if backend == "fast" \
+        else {}
+    log(f"mega traversal: {mega_on}")
     center = (bb_min + bb_max) * 0.5
     cam = Camera(eye=tuple(center + np.asarray([0.9, 0.55, -0.9])
                            * extent), center=tuple(center))
@@ -355,14 +370,14 @@ def main():
 
     def render():
         return render_image(scene, vi, pi, width=width, height=height,
-                            backend=backend)
+                            backend=backend, **ropts)
 
     t_render_lat, img = time_fn(render, iters=runs, warmup=1)
     img_np = np.asarray(img)
 
     def render_primary():
         return render_image(scene, vi, pi, width=width, height=height,
-                            backend=backend, shadows=False)
+                            backend=backend, shadows=False, **ropts)
 
     t_prim_lat, _ = time_fn(render_primary, iters=runs, warmup=1)
 
@@ -389,7 +404,7 @@ def main():
         def run_all():
             return [render_image(scene, cvi, cpi, width=width,
                                  height=height, backend=backend,
-                                 shadows=shadows)
+                                 shadows=shadows, **ropts)
                     for cvi, cpi in mats]
         jax.block_until_ready(run_all())            # warmup/compile
         best = np.inf
@@ -439,7 +454,8 @@ def main():
             o_fs, d_fs = make_camera_rays(width, height, jnp.asarray(vi),
                                           jnp.asarray(pi))
             t_f, lin_f, unresolved = trace_grid_fast(
-                o_fs, d_fs, scene.accel, return_stats=True)
+                o_fs, d_fs, scene.accel, mega=mega_on,
+                return_stats=True)
             hf = np.isfinite(np.asarray(t_f))
             t_d, lin_d = trace_grid_dda_chunked(
                 o_fs, d_fs, scene.occ_flat, scene.grid_origin,
@@ -516,6 +532,7 @@ def main():
         "grid_bytes": int(mem_bytes),
         "occupied_voxels": n_occ,
         "backend": backend,
+        "mega": mega_on,
         "preset": preset,
         "parity_ok": parity_ok,
         "parity": parity,

@@ -93,7 +93,8 @@ def build_fine_sb(fine, bdims):
 
 
 def _make_mega_kernel(dims, bdims, origin, voxel_size, bq, serves_per_it,
-                      outer_cap, any_hit, interp):
+                      outer_cap, any_hit, interp, n_serve_sb,
+                      prof_mode=None):
     nx, ny, nz = dims
     bx, by, bz = bdims
     sbx, sby, sbz = -(-bx // 8), -(-by // 8), -(-bz // 8)
@@ -160,8 +161,13 @@ def _make_mega_kernel(dims, bdims, origin, voxel_size, bq, serves_per_it,
             cz = jnp.where(skip, lz, cz)
 
             lin = cx + bx * (cy + by * cz)
-            word = mux_lookup(table_ref, lin >> 5, bq, rows_bc)
-            occ = ((word >> (lin & 31).astype(jnp.uint32)) & 1) > 0
+            if prof_mode == "nol1":
+                # TIMING ABLATION: no L1 mux, no pends -> pure two-speed
+                # walk + loop overhead (rays run to exit)
+                occ = jnp.zeros((bq, LANES), bool)
+            else:
+                word = mux_lookup(table_ref, lin >> 5, bq, rows_bc)
+                occ = ((word >> (lin & 31).astype(jnp.uint32)) & 1) > 0
             hit_now = walking & occ
             pend = jnp.where(hit_now, lin, pend)
 
@@ -191,9 +197,10 @@ def _make_mega_kernel(dims, bdims, origin, voxel_size, bq, serves_per_it,
             wact = jnp.where(dead, 0, wact)
             return (cx, cy, cz, wact, pend, rescont)
 
-        def fine_resolve(pend_lin, gate):
+        def fine_resolve(pend_lin, gate, bufsel):
             """In-register per-voxel DDA inside the pending brick, fine
-            words muxed from the DMA'd superbrick tile (brick_fine
+            words muxed from the lane's DMA'd superbrick tile (bufsel
+            picks among the B tiles served this round; brick_fine
             slot_body expression shapes, raytrace.rint:46-56)."""
             b = jnp.maximum(pend_lin, 0)
             pbx = b % bx
@@ -202,16 +209,24 @@ def _make_mega_kernel(dims, bdims, origin, voxel_size, bq, serves_per_it,
             blocal = (pbx & 7) + 8 * ((pby & 7) + 8 * (pbz & 7))
             col = blocal & 127
             rowsel = blocal >> 7          # 0..3
-            fb = fbuf[:]                  # (64, 128) uint32
-            words = []
-            for w in range(16):
-                out = jnp.zeros((bq, LANES), jnp.uint32)
-                for r in range(4):
-                    tr = jnp.broadcast_to(fb[w * 4 + r: w * 4 + r + 1, :],
+            if prof_mode == "nofetch":
+                # TIMING ABLATION: word 0 of each tile, no per-lane mux
+                words = [jnp.broadcast_to(fbuf[0, w * 4: w * 4 + 1, :],
                                           (bq, LANES))
-                    val = jnp.take_along_axis(tr, col, axis=1)
-                    out = jnp.where(rowsel == r, val, out)
-                words.append(out)
+                         for w in range(16)]
+            else:
+                words = []
+                for w in range(16):
+                    out = jnp.zeros((bq, LANES), jnp.uint32)
+                    for bf in range(n_serve_sb):
+                        for r in range(4):
+                            tr = jnp.broadcast_to(
+                                fbuf[bf, w * 4 + r: w * 4 + r + 1, :],
+                                (bq, LANES))
+                            val = jnp.take_along_axis(tr, col, axis=1)
+                            out = jnp.where((rowsel == r) & (bufsel == bf),
+                                            val, out)
+                    words.append(out)
 
             bminx = ogx + (pbx * BRICK).astype(jnp.float32) * vs
             bminy = ogy + (pby * BRICK).astype(jnp.float32) * vs
@@ -328,8 +343,14 @@ def _make_mega_kernel(dims, bdims, origin, voxel_size, bq, serves_per_it,
             return sub[3], sub[4]
 
         def serve(st, best_t, best_lin):
-            """Serve ONE superbrick: DMA its fine tile, resolve every
-            lane pending there."""
+            """Serve the B smallest distinct pending superbricks in one
+            round: B overlapped DMAs, each lane muxes its own tile.
+
+            Round-5 measurement that forced B > 1: single-sb serves ran
+            the full-block fine walk at the served sb's lane density
+            (~5-15%) — the SIMT waste replaced the XLA glue the kernel
+            deleted.  B-way serves multiply fine-walk utilization by ~B
+            for one extra mux level."""
             cx, cy, cz, wact, pend, rescont = st
             has_p = pend >= 0
             b = jnp.maximum(pend, 0)
@@ -337,19 +358,46 @@ def _make_mega_kernel(dims, bdims, origin, voxel_size, bq, serves_per_it,
                 + sbx * ((((b // bx) % by) >> 3)
                          + sby * ((b // (bx * by)) >> 3))
             sb_key = jnp.where(has_p, psb, _IMAX)
-            sb_star = jnp.min(sb_key)
-            sbs = jnp.minimum(sb_star, n_sb - 1)
+            # B smallest distinct pending sb ids (scalar reduces)
+            ids = []
+            key = sb_key
+            for _ in range(n_serve_sb):
+                m = jnp.min(key)
+                ids.append(m)
+                key = jnp.where(key == m, _IMAX, key)
             if interp:
-                fbuf[:] = fine_ref[sbs]
+                for bf in range(n_serve_sb):
+                    fbuf[bf] = fine_ref[jnp.minimum(ids[bf], n_sb - 1)]
+            elif prof_mode == "nodma":
+                pass  # TIMING ABLATION: stale tiles, garbage results
             else:
-                @pl.when(sb_star < _IMAX)
-                def _():
-                    cp = pltpu.make_async_copy(fine_ref.at[sbs], fbuf,
-                                               sem)
-                    cp.start()
-                    cp.wait()
-            gate = has_p & (sb_key == sb_star)
-            ft, flin = fine_resolve(pend, gate)
+                # start all B copies, then wait all: latency overlaps
+                for bf in range(n_serve_sb):
+                    @pl.when(ids[bf] < _IMAX)
+                    def _(bf=bf):
+                        pltpu.make_async_copy(
+                            fine_ref.at[jnp.minimum(ids[bf], n_sb - 1)],
+                            fbuf.at[bf], sem.at[bf]).start()
+                for bf in range(n_serve_sb):
+                    @pl.when(ids[bf] < _IMAX)
+                    def _(bf=bf):
+                        pltpu.make_async_copy(
+                            fine_ref.at[jnp.minimum(ids[bf], n_sb - 1)],
+                            fbuf.at[bf], sem.at[bf]).wait()
+            srv_inc = (ids[0] < _IMAX).astype(jnp.int32)
+            bufsel = jnp.full((bq, LANES), -1, jnp.int32)
+            for bf in range(n_serve_sb):
+                bufsel = jnp.where(has_p & (sb_key == ids[bf]), bf,
+                                   bufsel)
+            gate = bufsel >= 0
+            if prof_mode == "nofine":
+                # TIMING ABLATION: every serve misses -> lanes resume;
+                # preserves walk/serve round structure, skips cell DDA
+                ft = jnp.full((bq, LANES), _INF, jnp.float32)
+                flin = jnp.full((bq, LANES), -1, jnp.int32)
+            else:
+                ft, flin = fine_resolve(pend, gate,
+                                        jnp.maximum(bufsel, 0))
             got = gate & jnp.isfinite(ft)
             best_t = jnp.where(got, ft, best_t)
             best_lin = jnp.where(got, flin, best_lin)
@@ -358,7 +406,8 @@ def _make_mega_kernel(dims, bdims, origin, voxel_size, bq, serves_per_it,
             pend = jnp.where(gate, -1, pend)
             dead = got | (gate & (rescont == 0))
             wact = jnp.where(dead, 0, wact)
-            return (cx, cy, cz, wact, pend, rescont), best_t, best_lin
+            return (cx, cy, cz, wact, pend, rescont), best_t, best_lin, \
+                srv_inc
 
         # ---- init (grid_walk _fused_init expression shapes) ------------
         icx, icy, icz, iok = _fused_init(
@@ -387,26 +436,33 @@ def _make_mega_kernel(dims, bdims, origin, voxel_size, bq, serves_per_it,
             return (st, w + 1)
 
         def outer_body(carry):
-            st, best_t, best_lin, it = carry
+            st, best_t, best_lin, it, srv, wk = carry
             # walk burst: until every live lane is pending or retired
             # (the while bound is per-burst; per-lane termination is the
             # DDA's own monotone t/bounds exit)
-            st, _ = jax.lax.while_loop(walk_cond, walk_chunk,
-                                       (st, jnp.int32(0)))
+            st, w_it = jax.lax.while_loop(walk_cond, walk_chunk,
+                                          (st, jnp.int32(0)))
             for _ in range(serves_per_it):
-                st, best_t, best_lin = serve(st, best_t, best_lin)
-            return (st, best_t, best_lin, it + 1)
+                st, best_t, best_lin, si = serve(st, best_t, best_lin)
+                srv = srv + si
+            return (st, best_t, best_lin, it + 1, srv, wk + w_it)
 
         def outer_cond(carry):
-            st, _, _, it = carry
-            return jnp.logical_and(it < outer_cap,
+            st = carry[0]
+            return jnp.logical_and(carry[3] < outer_cap,
                                    jnp.any(st[3] != 0))
 
-        st, best_t, best_lin, _ = jax.lax.while_loop(
-            outer_cond, outer_body, (st0, bt0, bl0, jnp.int32(0)))
+        st, best_t, best_lin, it_f, srv_f, wk_f = jax.lax.while_loop(
+            outer_cond, outer_body,
+            (st0, bt0, bl0, jnp.int32(0), jnp.int32(0), jnp.int32(0)))
         t_ref[:] = best_t
         lin_ref[:] = best_lin
-        alive_ref[:] = st[3]
+        # alive in bit 0; per-block profile in the upper bits:
+        # iterations*2^20 + serves*2^10 + walk-chunks (each saturated)
+        prof = (jnp.minimum(it_f, 1023) * (1 << 20)
+                + jnp.minimum(srv_f, 1023) * (1 << 10)
+                + jnp.minimum(wk_f, 1023))
+        alive_ref[:] = (st[3] != 0).astype(jnp.int32) + 2 * prof
 
     return kernel
 
@@ -414,11 +470,13 @@ def _make_mega_kernel(dims, bdims, origin, voxel_size, bq, serves_per_it,
 @functools.partial(
     jax.jit,
     static_argnames=("dims", "bdims", "origin_key", "voxel_size", "bq",
-                     "serves_per_it", "outer_cap_mul", "any_hit"),
+                     "serves_per_it", "outer_cap_mul", "any_hit",
+                     "n_serve_sb", "prof_mode"),
 )
 def _mega_call(o, d, t_min, t_max, admit, coarse, l2, fine_sb, *,
                dims, bdims, origin_key, voxel_size, bq=16,
-               serves_per_it=2, outer_cap_mul=8, any_hit=False):
+               serves_per_it=2, outer_cap_mul=32, any_hit=False,
+               n_serve_sb=4, prof_mode=None):
     n = o.shape[0]
     per_block = bq * LANES
     n_blocks = max(1, -(-n // per_block))
@@ -437,7 +495,8 @@ def _mega_call(o, d, t_min, t_max, admit, coarse, l2, fine_sb, *,
 
     interp = jax.default_backend() != "tpu"
     kernel = _make_mega_kernel(dims, bdims, origin_key, voxel_size, bq,
-                               serves_per_it, outer_cap, any_hit, interp)
+                               serves_per_it, outer_cap, any_hit, interp,
+                               n_serve_sb, prof_mode)
 
     t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
@@ -457,8 +516,8 @@ def _mega_call(o, d, t_min, t_max, admit, coarse, l2, fine_sb, *,
            pl.BlockSpec(memory_space=fine_space)],
         out_specs=[ray_spec] * 3,
         scratch_shapes=[
-            pltpu.VMEM((64, 128), jnp.uint32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((n_serve_sb, 64, 128), jnp.uint32),
+            pltpu.SemaphoreType.DMA((n_serve_sb,)),
         ],
     )
     t, lin, alive = pl.pallas_call(
@@ -475,11 +534,17 @@ def _mega_call(o, d, t_min, t_max, admit, coarse, l2, fine_sb, *,
       prep(t_min_b), prep(t_max_b), prep(act),
       coarse, l2, fine_sb)
     unpad = lambda x: x.reshape(-1)[:n]
-    return unpad(t), unpad(lin), jnp.sum(alive.reshape(-1)[:n])
+    # alive bit 0 = lane unresolved at cap; upper bits = per-block
+    # (iterations, serves, walk-chunks) profile (identical across the
+    # block's lanes)
+    unresolved = jnp.sum(unpad(alive) & 1)
+    prof = (alive.reshape(n_blocks, -1)[:, 0] >> 1)
+    return unpad(t), unpad(lin), unresolved, prof
 
 
 def trace_grid_mega(origins, dirs, accel, t_min, t_max, admit=None,
-                    bq=16, serves_per_it=2, return_stats=False):
+                    bq=16, serves_per_it=2, n_serve_sb=4,
+                    prof_mode=None, return_stats=False):
     """One-dispatch exhaustive nearest-hit trace (t, cell_lin).
 
     Same contract as trace_grid_fast(drain=True): t = +inf miss,
@@ -497,12 +562,17 @@ def trace_grid_mega(origins, dirs, accel, t_min, t_max, admit=None,
     t_max_in = jnp.asarray(t_max, jnp.float32)
     if t_max_in.ndim:
         t_max_in = t_max_in.reshape(-1)
-    t, lin, alive = _mega_call(
+    t, lin, alive, prof = _mega_call(
         o, d, t_min_in, t_max_in, admit_f,
         accel.coarse, accel.l2, accel.fine_sb,
         dims=accel.dims, bdims=accel.bdims,
         origin_key=accel.origin_key, voxel_size=accel.voxel_size,
-        bq=bq, serves_per_it=serves_per_it)
+        bq=bq, serves_per_it=serves_per_it, n_serve_sb=n_serve_sb,
+        prof_mode=prof_mode)
+    if return_stats == "prof":
+        # per-block packed (iters << 20 | serves << 10 | walk_chunks)
+        return t.reshape(batch_shape), lin.reshape(batch_shape), alive, \
+            prof
     if return_stats:
         return t.reshape(batch_shape), lin.reshape(batch_shape), alive
     return t.reshape(batch_shape), lin.reshape(batch_shape)

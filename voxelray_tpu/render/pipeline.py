@@ -117,9 +117,13 @@ def _trace_voxels(scene: Scene, origins, dirs, t_min, t_max, backend,
                             t_min=t_min, t_max=t_max)
     if backend == "fast" and scene.accel is not None:
         from ..ops.traverse_fast import trace_grid_fast
+        opts = dict(fast_opts)
+        # round-5 default: the one-dispatch megakernel traversal when
+        # the accel carries its superbrick fine table (fast_opts
+        # {"mega": False} restores the staged walk+compact+fine path)
+        opts.setdefault("mega", scene.accel.fine_sb is not None)
         return trace_grid_fast(origins, dirs, scene.accel,
-                               t_min=t_min, t_max=t_max,
-                               **dict(fast_opts))
+                               t_min=t_min, t_max=t_max, **opts)
     if backend == "dda" and scene.occ_flat.shape[0] > 0:
         t, lin = trace_grid_dda(
             origins, dirs, scene.occ_flat, scene.grid_origin,
@@ -172,6 +176,10 @@ def _any_hit(scene: Scene, origins, dirs, t_min, t_max, backend,
         # any-hit tuning surface (round-4: the shadow pass is
         # drain-bound on long unoccluded walks, its optimum differs
         # from the nearest-trace's).
+        sh_opts = dict(shadow_opts)
+        # round-5 default: megakernel any-hit (first-accept retire);
+        # shadow_opts {"mega": False} restores the staged path
+        sh_opts.setdefault("mega", scene.accel.fine_sb is not None)
         occluded |= any_hit_grid_fast(origins, dirs, scene.accel,
                                       t_min=t_min, t_max=t_max,
                                       admit=admit,
@@ -179,7 +187,7 @@ def _any_hit(scene: Scene, origins, dirs, t_min, t_max, backend,
                                           fast_opts).items()
                                          if k in ("chunk", "fine",
                                                   "two_level")},
-                                      **dict(shadow_opts))
+                                      **sh_opts)
     elif backend == "dda" and scene.occ_flat.shape[0] > 0:
         occluded |= any_hit_grid_dda(
             origins, dirs, scene.occ_flat, scene.grid_origin,
@@ -396,9 +404,13 @@ def render_image(scene: Scene, view_inv, proj_inv, *, width, height,
     # normalize list values (k_hits=[8, 4] etc.) to tuples: opts is part
     # of the jit key and must be hashable (ADVICE r2 item 4)
     def _norm(d):
-        return tuple(sorted(
-            (k, tuple(v) if isinstance(v, list) else v)
-            for k, v in d.items())) if d else ()
+        def _h(v):
+            if isinstance(v, list):
+                return tuple(v)
+            if isinstance(v, dict):  # nested opt dicts (mega_opts)
+                return tuple(sorted((k2, _h(v2)) for k2, v2 in v.items()))
+            return v
+        return tuple(sorted((k, _h(v)) for k, v in d.items())) if d else ()
     return _render_jit(
         scene, jnp.asarray(view_inv), jnp.asarray(proj_inv),
         jnp.asarray(light.position, jnp.float32),
