@@ -108,28 +108,38 @@ def main():
         walk_chunks_q=q(wk), iters_sum=int(its.sum()),
         serves_sum=int(srv.sum()), walk_sum=int(wk.sum()))
 
-    sweep = [(8, 1, 2), (8, 1, 4), (8, 2, 4), (8, 1, 6), (8, 1, 8),
-             (16, 1, 4)]
+    sweep = [(8, 1, 4, 13, 1), (8, 1, 4, 0, 1), (16, 1, 4, 13, 1),
+             (8, 2, 4, 13, 1), (8, 1, 2, 13, 1), (8, 1, 4, 13, 0),
+             (8, 1, 4, 0, 0)]
     if len(sys.argv) > 1:
-        sweep = [tuple(map(int, a.split(","))) for a in sys.argv[1:]]
-    for bq, spi, nsb in sweep:
+        sweep = [tuple(map(int, a.split(","))) for a in sys.argv[1:]
+                 if "," in a]
+    for cfg in sweep:
+        bq, spi, nsb, fu, tr = cfg[:5]
+        asp = cfg[5] if len(cfg) > 5 else 4
         try:
             t0 = time.time()
             fn = lambda o, d: trace_grid_mega(
                 o, d, scene.accel, 0.001, 10000.0, bq=bq,
-                serves_per_it=spi, n_serve_sb=nsb)
-            t_m, lin_m, alive = trace_grid_mega(
+                serves_per_it=spi, n_serve_sb=nsb, fine_unroll=fu,
+                transit=bool(tr), a_steps=asp)
+            t_m, lin_m, alive, prof2 = trace_grid_mega(
                 *rays[0], scene.accel, 0.001, 10000.0, bq=bq,
-                serves_per_it=spi, n_serve_sb=nsb, return_stats=True)
+                serves_per_it=spi, n_serve_sb=nsb, fine_unroll=fu,
+                transit=bool(tr), a_steps=asp, return_stats="prof")
             jax.block_until_ready(t_m)
             hm2 = np.isfinite(np.asarray(t_m))
-            log(stage="compile", bq=bq, spi=spi, nsb=nsb,
+            prof2 = np.asarray(prof2)
+            log(stage="compile", bq=bq, spi=spi, nsb=nsb, fu=fu, tr=tr,
                 s=round(time.time() - t0, 1), hits=int(hm2.sum()),
                 alive=int(alive),
+                iters=int((prof2 >> 20).sum()),
+                serves=int(((prof2 >> 10) & 1023).sum()),
+                walks=int((prof2 & 1023).sum()),
                 hits_eq_fast=bool(np.array_equal(hm2, hf)))
-            timed(fn, f"mega_bq{bq}_s{spi}_n{nsb}")
+            timed(fn, f"mega_bq{bq}_s{spi}_n{nsb}_f{fu}_t{tr}_a{asp}")
         except Exception as e:
-            log(stage="error", bq=bq, spi=spi, nsb=nsb,
+            log(stage="error", bq=bq, spi=spi, nsb=nsb, fu=fu, tr=tr,
                 err=f"{type(e).__name__}: {e}"[:400])
 
 
