@@ -12,22 +12,28 @@ This kernel deletes all three plus the XLA drain.
 How the fine words reach the kernel without the XLA gather:
 
   * The per-brick packed cell words are stored SUPERBRICK-major in HBM:
-    fine_sb[s] is a (64, 128) uint32 tile holding word w of brick-local
-    b at (w*4 + (b>>7), b&127) — one superbrick's 512 bricks x 16 words
-    = 32 KB contiguous.
-  * Each (BQ, 128) block of image-tile-coherent rays runs the two-speed
-    brick walk (grid_walk semantics).  A lane that lands on an occupied
-    brick records it as its PENDING brick and pauses walking.
-  * Between walk bursts the block serves pending bricks one superbrick
-    at a time: sb* = min over pending superbricks (scalar reduce), ONE
-    32 KB DMA HBM->VMEM, then every lane pending in sb* fetches its 16
-    brick words via a 4-row mux and runs the in-register per-voxel DDA
-    (brick_fine slot_body expression shapes — raytrace.rint:46-56).
-    Accepted lanes retire; missed lanes resume walking from the resume
-    position stored at pause time.
-  * Candidate bricks are generated in ray order per lane, and a lane has
-    at most one pending at a time, so the first accepted cell IS the
-    nearest — identical contract to trace_grid_fast/trace_grid_dda.
+    fine_sb[s] is a (72, 128) uint32 tile — rows 0-63 hold word w of
+    brick-local b at (w*4 + (b>>7), b&127), row 64 packs the 512 brick
+    -occupancy bits (one superbrick = 512 bricks x 16 words + occupancy
+    = 36 KB contiguous).
+  * Each (BQ, 128) block of image-tile-coherent rays walks at SUPERBRICK
+    speed (the grid_walk two-speed skip, L2 bitmask only — no L1 mux).
+    A lane entering an occupied superbrick PENDS it and pauses.
+  * Between walk bursts the block serves the B smallest distinct
+    pending superbricks: B overlapped 36 KB DMAs HBM->VMEM, then every
+    pending lane TRANSITS its superbrick in-kernel — empty bricks
+    skipped via the tile's occupancy row (one broadcast+take), occupied
+    bricks resolved by the inline per-voxel DDA (brick_fine slot_body
+    expression shapes — raytrace.rint:46-56), words muxed from the
+    lane's tile.  Accepted lanes retire; lanes that exit the superbrick
+    unresolved resume the superbrick walk from the exit brick.
+  * Bricks are visited in ray order per lane and a lane has one pending
+    superbrick at a time, so the first accepted cell IS the nearest —
+    identical contract to trace_grid_fast/trace_grid_dda.
+  * transit=False keeps the v2 per-BRICK pending form (walk at brick
+    speed with the L1 mux, serve = one brick fine-resolve per lane):
+    measured 35.4 ms vs transit's 29.9 at the full preset — kept as the
+    A/B reference.
 
 Exactness: walk and fine expressions are the exact grid_walk/brick_fine
 shapes, so results land in the same FMA-contraction class the bench
