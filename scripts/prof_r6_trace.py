@@ -63,7 +63,13 @@ def main():
     v, f = meshes.torus_knot(2, 3, 1024, 512)
     bb_min, bb_max = mesh_bbox(v)
     vs = float(max(bb_max - bb_min)) / 512
-    grid = GridBool.from_mesh(v, f, vs)
+    cache = "/tmp/bench_occ512.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        grid = GridBool.from_occupancy(jnp.asarray(z["occ"]), z["origin"],
+                                       float(z["vs"]))
+    else:
+        grid = GridBool.from_mesh(v, f, vs)
     scene = build_scene(models=None, grid=grid)
     log(stage="scene", dims=list(grid.dims))
 
