@@ -816,11 +816,22 @@ def _make_mega_kernel(dims, bdims, origin, voxel_size, bq, serves_per_it,
 
         def outer_body(carry):
             st, best_t, best_lin, it, srv, wk = carry
-            # walk burst: until every live lane is pending or retired
-            # (the while bound is per-burst; per-lane termination is the
-            # DDA's own monotone t/bounds exit)
-            st, w_it = jax.lax.while_loop(walk_cond, walk_chunk,
-                                          (st, jnp.int32(0)))
+            if transit and not interp:
+                # STATIC walk chunk, no inner while: the pure-L2 walk is
+                # cheap (~55 ops/step, no L1 mux) and 80% of bursts fit
+                # one chunk — lanes that need more steps simply continue
+                # next outer iteration (a serve with their pend unset is
+                # a no-op for them).  Saves one scalar cond sync per
+                # burst (~1k/frame at the full preset).
+                for _ in range(walk_unroll):
+                    st = walk_step_t(st)
+                w_it = jnp.int32(1)
+            else:
+                # walk burst: until every live lane is pending or
+                # retired (the while bound is per-burst; per-lane
+                # termination is the DDA's own monotone t/bounds exit)
+                st, w_it = jax.lax.while_loop(walk_cond, walk_chunk,
+                                              (st, jnp.int32(0)))
             for _ in range(serves_per_it):
                 st, best_t, best_lin, si = (
                     serve_transit(st, best_t, best_lin) if transit
@@ -927,7 +938,7 @@ def _mega_call(o, d, t_min, t_max, admit, coarse, l2, fine_sb, *,
 
 
 def trace_grid_mega(origins, dirs, accel, t_min, t_max, admit=None,
-                    bq=24, serves_per_it=1, n_serve_sb=4,
+                    bq=24, serves_per_it=1, n_serve_sb=3,
                     prof_mode=None, fine_unroll=0, transit=True,
                     a_steps=8, return_stats=False):
     """One-dispatch exhaustive nearest-hit trace (t, cell_lin).
