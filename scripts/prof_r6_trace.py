@@ -11,6 +11,9 @@ Run solo on TPU:
 """
 import glob
 import gzip
+import os
+import sys as _sys
+_sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import json
 import os
 import sys
@@ -27,26 +30,50 @@ def log(**kw):
 
 
 def parse_xplane(path):
-    """Aggregate device-plane event durations (us) by event name."""
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
-    with open(path, "rb") as fh:
-        xs = xplane_pb2.XSpace()
-        xs.ParseFromString(fh.read())
+    """Aggregate device-plane event durations (us) by event name
+    (raw wire-format decode — this image has no xplane_pb2; see
+    scripts/parse_xplane.py)."""
+    import parse_xplane as px
     out = []
-    for plane in xs.planes:
-        if "TPU" not in plane.name and "device" not in plane.name.lower():
+    buf = open(path, "rb").read()
+    for fnum, val in px.fields(buf):
+        if fnum != 1:
             continue
-        meta = {m.id: m.name for m in plane.event_metadata.values()} \
-            if hasattr(plane.event_metadata, "values") else {}
-        if not meta:
-            meta = {k: v.name for k, v in plane.event_metadata.items()}
+        name = ""
+        meta = {}
+        lines = []
+        for f2, v2 in px.fields(val):
+            if f2 == 2:
+                name = v2.decode(errors="replace")
+            elif f2 == 4:
+                k = None
+                mname = ""
+                for f3, v3 in px.fields(v2):
+                    if f3 == 1:
+                        k = v3
+                    elif f3 == 2:
+                        for f4, v4 in px.fields(v3):
+                            if f4 == 2:
+                                mname = v4.decode(errors="replace")
+                meta[k] = mname
+            elif f2 == 3:
+                lines.append(v2)
+        if "TPU" not in name and "device" not in name.lower():
+            continue
         agg = defaultdict(lambda: [0.0, 0])
-        for line in plane.lines:
-            for ev in line.events:
-                name = meta.get(ev.metadata_id, str(ev.metadata_id))
-                agg[name][0] += ev.duration_ps / 1e6  # -> us
-                agg[name][1] += 1
-        out.append((plane.name, agg))
+        for ln in lines:
+            for f3, v3 in px.fields(ln):
+                if f3 == 4:
+                    mid = dur = 0
+                    for f4, v4 in px.fields(v3):
+                        if f4 == 1:
+                            mid = v4
+                        elif f4 == 3:
+                            dur = v4
+                    a = agg[meta.get(mid, str(mid))]
+                    a[0] += dur / 1e6
+                    a[1] += 1
+        out.append((name, agg))
     return out
 
 
